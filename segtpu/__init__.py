@@ -1,0 +1,30 @@
+"""segtpu — TPU-native cell-segmentation framework (JAX/XLA/Pallas/pjit).
+
+A from-scratch rebuild of the capabilities of the reference project
+``SwagMag1213/image-segmentation-project`` (binary semantic segmentation of
+grayscale cell-microscopy images) designed TPU-first:
+
+- ``segtpu.data``    — TIFF pairing/discovery, fused on-device preprocessing
+  (area resize + percentile clip + CLAHE + min-max normalize), on-device
+  augmentation (4-transform production pipeline + 18 forward-selection
+  candidates), device-resident batch loader.
+- ``segtpu.models``  — Flax U-Net with resnet34 / resnet50 / densenet121
+  encoders, additive attention gates + SE channel attention
+  (reference: advanced_models.py).
+- ``segtpu.losses``  — 16 segmentation losses behind a string-keyed registry
+  (reference: losses.py:345-403).
+- ``segtpu.metrics`` — confusion-count metrics, post-processed IoU
+  (reference: utils.py:58-151).
+- ``segtpu.train``   — jit-compiled train/eval epochs (lax.scan over device
+  batches), plateau LR schedule, early stopping, best-weights tracking
+  (reference: train.py:17-364).
+- ``segtpu.eval``    — CrossValidator / ModelComparator protocols
+  (reference: cross_validation.py).
+- ``segtpu.experiments`` — the four experiment drivers
+  (reference: main.py:20-37).
+- ``segtpu.infer``   — tiled sliding-window inference with overlap blending.
+- ``segtpu.parallel``— device mesh + GSPMD data-parallel sharding helpers.
+- ``segtpu.kernels`` — Pallas TPU kernels for the hot paths.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,6 @@
+from segtpu.metrics.metrics import (
+    calculate_metrics,
+    iou_score,
+    post_process,
+    compute_foreground_ratio,
+)
