@@ -1,0 +1,124 @@
+"""Fused on-device preprocessing graph.
+
+The reference's per-sample CPU chain (dataset.py:44-66):
+    cv2.imread → cv2.resize(INTER_AREA / INTER_NEAREST)
+    → percentile[2,98] clip → CLAHE(2.0, 8×8) → min-max normalize
+    → binarize mask
+is rebuilt as two stages:
+
+1. ``load_canonical``  (host decode → one batched device resize per raw
+   shape group): produces *canonical frames* — uint8 (N, S, S) images and
+   binary uint8 masks at the target ``img_size``. Cached per
+   (paths, img_size), computed once per experiment instead of once per
+   epoch×sample.
+2. ``normalize_canonical`` (jit, vmap): percentile clip → CLAHE → min-max,
+   entirely on device, fused by XLA. ~bit-exact vs the reference chain
+   (the resize rounds to uint8 exactly like cv2's fixed-point path ±1).
+
+Augmentation (segtpu/data/augment.py) slots between the two stages,
+operating on canonical uint8 frames.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from segtpu.data.io import decode_gray
+from segtpu.ops.clahe import clahe
+from segtpu.ops.resize import resize_area, resize_nearest
+
+
+def _round_u8(x: jnp.ndarray) -> jnp.ndarray:
+    """cv2-style round-half-up to uint8."""
+    return jnp.floor(jnp.clip(x, 0, 255) + 0.5).astype(jnp.uint8)
+
+
+@lru_cache(maxsize=64)
+def _resize_pair_fn(raw_hw: Tuple[int, int], out_hw: Tuple[int, int]):
+    """Jitted batched (image INTER_AREA, mask INTER_NEAREST) resize for one
+    raw shape group (dataset.py:50-51)."""
+
+    @jax.jit
+    def f(raw_imgs, raw_masks):
+        imgs = jax.vmap(lambda im: _round_u8(resize_area(im, out_hw)))(raw_imgs)
+        masks = jax.vmap(lambda m: resize_nearest(m, out_hw))(raw_masks)
+        masks = (masks > 0).astype(jnp.uint8)
+        return imgs, masks
+
+    return f
+
+
+@lru_cache(maxsize=64)
+def _resize_img_fn(raw_hw: Tuple[int, int], out_hw: Tuple[int, int]):
+    @jax.jit
+    def f(raw_imgs):
+        return jax.vmap(lambda im: _round_u8(resize_area(im, out_hw)))(raw_imgs)
+    return f
+
+
+def load_canonical(image_paths: Sequence[str], mask_paths: Sequence[str],
+                   img_size: Tuple[int, int] = (256, 256)
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode + device-resize all pairs to canonical uint8 frames.
+
+    Returns (images (N,S,S) uint8, masks (N,S,S) uint8 binary 0/1), host
+    numpy (small). Handles mixed raw shapes by grouping."""
+    n = len(image_paths)
+    imgs_out = np.zeros((n, *img_size), np.uint8)
+    masks_out = np.zeros((n, *img_size), np.uint8)
+
+    groups = {}
+    for i, (ip, mp) in enumerate(zip(image_paths, mask_paths)):
+        img = decode_gray(ip)
+        msk = decode_gray(mp)
+        if msk.shape != img.shape:  # defensive: masks should match raw images
+            msk = np.array(jax.device_get(resize_nearest(jnp.asarray(msk), img.shape)))
+        groups.setdefault(img.shape, []).append((i, img, msk))
+
+    for shape, items in groups.items():
+        idx = np.array([i for i, _, _ in items])
+        raw_i = np.stack([im for _, im, _ in items])
+        raw_m = np.stack([m for _, _, m in items])
+        f = _resize_pair_fn(shape, tuple(img_size))
+        ci, cm = f(jnp.asarray(raw_i), jnp.asarray(raw_m))
+        imgs_out[idx] = np.asarray(jax.device_get(ci))
+        masks_out[idx] = np.asarray(jax.device_get(cm))
+    return imgs_out, masks_out
+
+
+def normalize_microscopy_image(image: jnp.ndarray,
+                               clip_percentiles=(2.0, 98.0),
+                               clip_limit: float = 2.0,
+                               tile_grid=(8, 8)) -> jnp.ndarray:
+    """Single-image microscopy normalization (dataset.py:30-42):
+    percentile clip → truncate to uint8 → CLAHE → min-max to [0,1].
+
+    Input uint8 (H, W); output float32 (H, W). jit/vmap-safe."""
+    img_f = image.astype(jnp.float32)
+    p_low, p_high = jnp.percentile(img_f, jnp.asarray(clip_percentiles))
+    clipped = jnp.clip(img_f, p_low, p_high)
+    # np .astype(np.uint8) truncates toward zero (dataset.py:38).
+    clipped_u8 = jnp.floor(clipped).astype(jnp.uint8)
+    eq = clahe(clipped_u8, clip_limit=clip_limit, tile_grid_size=tile_grid)
+    eq_f = eq.astype(jnp.float32)
+    mn = jnp.min(eq_f)
+    mx = jnp.max(eq_f)
+    return (eq_f - mn) / (mx - mn + 1e-8)
+
+
+@jax.jit
+def normalize_canonical(images_u8: jnp.ndarray) -> jnp.ndarray:
+    """Batched normalization: (N,S,S) uint8 → (N,S,S,1) float32 on device."""
+    out = jax.vmap(normalize_microscopy_image)(images_u8)
+    return out[..., None]
+
+
+@jax.jit
+def scale_canonical(images_u8: jnp.ndarray) -> jnp.ndarray:
+    """normalize=False path (dataset.py:57): /255 only."""
+    return (images_u8.astype(jnp.float32) / 255.0)[..., None]

@@ -1,0 +1,180 @@
+"""Data layer tests: discovery contract, preprocessing parity vs the
+reference's cv2 chain, loader batching, and augmentation invariants."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from segtpu.data import (
+    load_original_data,
+    make_synthetic_dataset,
+    decode_gray,
+    prepare_data,
+    CellSegmentationDataset,
+    CellAugmenter,
+    AUGMENTATION_CANDIDATES,
+    build_pipeline,
+)
+from segtpu.data.preprocess import load_canonical, normalize_microscopy_image
+from segtpu.data.augment import augment_batch
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    return make_synthetic_dataset(str(root), n_images=8, image_type="W")
+
+
+def test_discovery_contract(dataset_dir):
+    data = load_original_data(dataset_dir, image_type="W")
+    assert len(data["image_paths"]) == 8
+    assert len(data["mask_paths"]) == 8
+    for ip, mp in zip(data["image_paths"], data["mask_paths"]):
+        assert mp.endswith("_GT.tif")
+        assert ip.endswith(".tif") and "_GT" not in ip
+    # modality filter: no 'B' images exist
+    none = load_original_data(dataset_dir, image_type="B")
+    assert len(none["image_paths"]) == 0
+
+
+def test_discovery_missing_dir_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_original_data(str(tmp_path / "nope"))
+
+
+def test_normalize_matches_reference_chain(dataset_dir):
+    """Full preprocessing parity vs the cv2 implementation of
+    dataset.py:30-66 (resize INTER_AREA → percentile clip → CLAHE →
+    min-max)."""
+    cv2 = pytest.importorskip("cv2")
+    data = load_original_data(dataset_dir, image_type="W")
+    ip = data["image_paths"][0]
+    raw = decode_gray(ip)
+
+    # reference chain
+    ref = cv2.resize(raw, (128, 128), interpolation=cv2.INTER_AREA)
+    p_low, p_high = np.percentile(ref, [2, 98])
+    ref_c = np.clip(ref, p_low, p_high)
+    c = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8))
+    ref_e = c.apply(ref_c.astype(np.uint8))
+    ref_n = (ref_e - ref_e.min()) / (ref_e.max() - ref_e.min() + 1e-8)
+
+    # ours
+    ci, _ = load_canonical([ip], [data["mask_paths"][0]], (128, 128))
+    ours = np.asarray(normalize_microscopy_image(jnp.asarray(ci[0])))
+
+    # canonical uint8 resize may differ ±1 from cv2's fixed point; the
+    # normalized outputs must agree closely.
+    assert np.abs(ours - ref_n).max() < 0.05
+    assert np.abs(ours - ref_n).mean() < 0.005
+
+
+def test_mask_binarization(dataset_dir):
+    data = load_original_data(dataset_dir, image_type="W")
+    ds = CellSegmentationDataset(data["image_paths"], data["mask_paths"],
+                                 img_size=(64, 64))
+    imgs, masks = ds.materialize()
+    assert imgs.shape == (8, 64, 64, 1)
+    assert masks.shape == (8, 64, 64, 1)
+    u = np.unique(np.asarray(masks))
+    assert set(u.tolist()) <= {0.0, 1.0}
+    assert imgs.dtype == jnp.float32
+    assert float(jnp.min(imgs)) >= 0.0 and float(jnp.max(imgs)) <= 1.0
+
+
+def test_loader_batching(dataset_dir):
+    data = load_original_data(dataset_dir, image_type="W")
+    loader = prepare_data(data["image_paths"], data["mask_paths"],
+                          batch_size=3, img_size=(64, 64), shuffle=True)
+    assert len(loader) == 3  # 8 samples, bs 3 → 2 full + remainder
+    (fi, fm), rem = loader.batches(jax.random.key(0))
+    assert fi.shape == (2, 3, 64, 64, 1)
+    assert rem[0].shape == (2, 64, 64, 1)
+    # iteration covers every sample exactly once
+    seen = sum(b[0].shape[0] for b in loader)
+    assert seen == 8
+
+
+def test_all_candidates_run_and_are_valid(rng):
+    img = jnp.asarray(rng.integers(0, 256, (64, 64)).astype(np.float32))
+    mask = jnp.asarray((rng.random((64, 64)) > 0.6).astype(np.float32) * 255)
+    key = jax.random.key(1)
+    for name, fn in AUGMENTATION_CANDIDATES.items():
+        ai, am = fn((img, mask), key)
+        assert ai.shape == (64, 64), name
+        assert am.shape == (64, 64), name
+        assert np.isfinite(np.asarray(ai)).all(), name
+        a = np.asarray(ai)
+        assert a.min() >= -1e-3 and a.max() <= 255.001, name
+
+
+def test_geometric_transforms_move_mask_with_image(rng):
+    """Joint image/mask transformation: a geometric warp must displace both
+    identically (mask-aware contract, SURVEY.md §2.3)."""
+    img = np.zeros((64, 64), np.float32)
+    img[10:20, 30:40] = 200.0
+    mask = (img > 0).astype(np.float32) * 255
+    key = jax.random.key(3)
+    for name in ["horizontal_flip", "vertical_flip", "transpose",
+                 "random_rotate_90", "affine", "random_crop", "crop_and_pad"]:
+        fn = AUGMENTATION_CANDIDATES[name]
+        ai, am = fn((jnp.asarray(img), jnp.asarray(mask)), key)
+        ai, am = np.asarray(ai), np.asarray(am)
+        bright = ai > 50
+        fg = am > 127
+        if fg.sum() == 0:
+            continue
+        overlap = (bright & fg).sum() / max(fg.sum(), 1)
+        assert overlap > 0.8, f"{name}: mask/image misaligned ({overlap:.2f})"
+
+
+def test_intensity_transforms_leave_mask_untouched(rng):
+    img = jnp.asarray(rng.integers(0, 256, (32, 32)).astype(np.float32))
+    mask = jnp.asarray((rng.random((32, 32)) > 0.5).astype(np.float32) * 255)
+    key = jax.random.key(7)
+    for name in ["gauss_noise", "invert", "solarize", "random_gamma",
+                 "color_jitter", "advanced_blur", "downscale",
+                 "coarse_dropout", "grid_dropout"]:
+        _, am = AUGMENTATION_CANDIDATES[name]((img, mask), key)
+        assert np.array_equal(np.asarray(am), np.asarray(mask)), name
+
+
+def test_deterministic_given_key(rng):
+    img = jnp.asarray(rng.integers(0, 256, (32, 32)).astype(np.float32))
+    mask = jnp.zeros((32, 32), jnp.float32)
+    pipe = build_pipeline(["affine", "gauss_noise"], for_selection=True)
+    a1 = np.asarray(pipe((img, mask), jax.random.key(5))[0])
+    a2 = np.asarray(pipe((img, mask), jax.random.key(5))[0])
+    a3 = np.asarray(pipe((img, mask), jax.random.key(6))[0])
+    assert np.array_equal(a1, a2)
+    assert not np.array_equal(a1, a3)
+
+
+def test_cell_augmenter_expands_dataset(rng):
+    imgs = rng.integers(0, 256, (4, 32, 32)).astype(np.uint8)
+    masks = (rng.random((4, 32, 32)) > 0.5).astype(np.uint8)
+    aug = CellAugmenter(augmentations_per_image=3, seed=0)
+    ai, am = aug.augment_training_data(imgs, masks)
+    assert ai.shape == (16, 32, 32)
+    assert am.shape == (16, 32, 32)
+    # originals preserved at the front (dataset.py:167-169)
+    assert np.array_equal(np.asarray(ai[:4]), imgs)
+    assert set(np.unique(np.asarray(am)).tolist()) <= {0, 1}
+    # zero-augmentation passthrough (dataset.py:161-162)
+    aug0 = CellAugmenter(augmentations_per_image=0)
+    bi, bm = aug0.augment_training_data(imgs, masks)
+    assert bi.shape == (4, 32, 32)
+
+
+def test_production_pipeline_produces_diversity(rng):
+    imgs = np.tile(rng.integers(0, 256, (1, 64, 64)).astype(np.uint8), (1, 1, 1))
+    masks = np.zeros((1, 64, 64), np.uint8)
+    aug = CellAugmenter(augmentations_per_image=8, seed=1)
+    ai, _ = aug.augment_training_data(imgs, masks)
+    copies = np.asarray(ai[1:])
+    # at least some of the 8 copies must differ from each other
+    diffs = sum(not np.array_equal(copies[i], copies[j])
+                for i in range(8) for j in range(i + 1, 8))
+    assert diffs > 10
