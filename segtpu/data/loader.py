@@ -80,6 +80,21 @@ class DeviceDataLoader:
         self._seed = seed
         self.images, self.masks = dataset.materialize()
 
+    @classmethod
+    def from_arrays(cls, images: jnp.ndarray, masks: jnp.ndarray,
+                    batch_size: int = 2, shuffle: bool = True, seed: int = 0
+                    ) -> "DeviceDataLoader":
+        """Loader over pre-materialized device arrays (N,S,S,1)."""
+        self = cls.__new__(cls)
+        self.dataset = None
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self._epoch = 0
+        self._seed = seed
+        self.images = images
+        self.masks = masks
+        return self
+
     @property
     def n(self) -> int:
         return int(self.images.shape[0])

@@ -1,0 +1,144 @@
+"""Tiled sliding-window inference with overlap blending.
+
+The reference resizes every image down to a fixed small size
+(dataset.py:50-51) and has no large-image path (SURVEY.md §5
+"long-context" row). This is the spatial analog of sequence parallelism
+the north star demands (BASELINE.json config #4): 2048×2048-class inputs
+are processed as overlapping tiles, forward passes run as one jit-compiled
+scan over tile batches (XLA pipelines the HBM tile gathers against the MXU
+convs — the double-buffering falls out of the scan schedule), and logits
+are blended back with a separable cosine-ramp window.
+
+Tiles can additionally be sharded across chips by running the same program
+under a mesh with the tile-batch axis sharded (the "context parallel" of
+images).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=32)
+def _blend_window(tile: int, overlap: int) -> np.ndarray:
+    """Separable 2-D blending window: cosine ramp of width ``overlap`` at
+    each border, flat 1.0 in the interior. Guarantees that overlapping
+    windows sum to ~1 with stride = tile - overlap."""
+    w = np.ones(tile, np.float32)
+    if overlap > 0:
+        ramp = 0.5 - 0.5 * np.cos(np.pi * (np.arange(overlap) + 0.5) / overlap)
+        w[:overlap] = ramp
+        w[-overlap:] = ramp[::-1]
+    return np.outer(w, w).astype(np.float32)
+
+
+def _tile_origins(size: int, tile: int, stride: int) -> np.ndarray:
+    """Static list of tile top-left offsets covering [0, size)."""
+    if size <= tile:
+        return np.array([0], np.int32)
+    starts = list(range(0, size - tile, stride)) + [size - tile]
+    return np.unique(np.array(starts, np.int32))
+
+
+def make_tiled_predictor(apply_fn: Callable, tile: int = 512,
+                         overlap: int = 64, batch_tiles: int = 8):
+    """Build a jitted tiled predictor.
+
+    ``apply_fn(x: (B, tile, tile, C_in)) -> (B, tile, tile, C_out)`` —
+    typically a model forward closed over params.
+
+    Returns ``predict(image: (H, W, C_in)) -> (H, W, C_out)`` logits.
+    One compiled program per (H, W) shape; the scan over tile batches keeps
+    peak HBM at O(batch_tiles · tile²) regardless of image size.
+    """
+    stride = tile - overlap
+
+    def predict(image: jnp.ndarray) -> jnp.ndarray:
+        h, w, cin = image.shape
+        ph, pw = max(tile, h), max(tile, w)
+        if ph > h or pw > w:
+            image = jnp.pad(image, ((0, ph - h), (0, pw - w), (0, 0)),
+                            mode="reflect")
+        ys = _tile_origins(ph, tile, stride)
+        xs = _tile_origins(pw, tile, stride)
+        origins = np.stack(np.meshgrid(ys, xs, indexing="ij"),
+                           axis=-1).reshape(-1, 2)
+        n = origins.shape[0]
+        n_pad = (-n) % batch_tiles
+        origins = np.concatenate(
+            [origins, np.tile(origins[-1:], (n_pad, 1))])  # dup; weights dedup
+        # padded duplicates would double-count their window → zero their
+        # weight contribution instead.
+        valid = np.concatenate([np.ones(n, np.float32),
+                                np.zeros(n_pad, np.float32)])
+        origins_d = jnp.asarray(origins.reshape(-1, batch_tiles, 2))
+        valid_d = jnp.asarray(valid.reshape(-1, batch_tiles))
+        window = jnp.asarray(_blend_window(tile, overlap))
+
+        # probe output channels statically
+        cout_probe = jax.eval_shape(
+            apply_fn, jax.ShapeDtypeStruct((batch_tiles, tile, tile, cin),
+                                           image.dtype))
+        cout = cout_probe.shape[-1]
+
+        def body(carry, inp):
+            acc, wacc = carry
+            orgs, val = inp
+
+            def get_tile(o):
+                return jax.lax.dynamic_slice(image, (o[0], o[1], 0),
+                                             (tile, tile, cin))
+
+            tiles = jax.vmap(get_tile)(orgs)
+            logits = apply_fn(tiles)
+
+            def put(carry, args):
+                acc, wacc = carry
+                o, lg, v = args
+                wt = window[:, :, None] * v
+                patch = jax.lax.dynamic_slice(acc, (o[0], o[1], 0),
+                                              (tile, tile, cout))
+                wpatch = jax.lax.dynamic_slice(wacc, (o[0], o[1], 0),
+                                               (tile, tile, 1))
+                acc = jax.lax.dynamic_update_slice(
+                    acc, patch + lg * wt, (o[0], o[1], 0))
+                wacc = jax.lax.dynamic_update_slice(
+                    wacc, wpatch + wt, (o[0], o[1], 0))
+                return (acc, wacc), None
+
+            (acc, wacc), _ = jax.lax.scan(put, (acc, wacc),
+                                          (orgs, logits, val))
+            return (acc, wacc), None
+
+        acc = jnp.zeros((ph, pw, cout), jnp.float32)
+        wacc = jnp.zeros((ph, pw, 1), jnp.float32)
+        (acc, wacc), _ = jax.lax.scan(body, (acc, wacc),
+                                      (origins_d, valid_d))
+        out = acc / jnp.maximum(wacc, 1e-8)
+        return out[:h, :w, :]
+
+    return jax.jit(predict)
+
+
+def tiled_predict(model, state, image, tile: int = 512, overlap: int = 64,
+                  batch_tiles: int = 8) -> np.ndarray:
+    """One-call tiled inference on a single large image (H, W) or (H, W, 1).
+
+    Returns sigmoid probabilities (H, W, n_classes)."""
+    img = jnp.asarray(image, jnp.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+
+    def apply_fn(x):
+        return model.apply({"params": state.params,
+                            "batch_stats": state.batch_stats}, x, train=False)
+
+    predictor = make_tiled_predictor(apply_fn, tile=tile, overlap=overlap,
+                                     batch_tiles=batch_tiles)
+    logits = predictor(img)
+    return np.asarray(jax.nn.sigmoid(logits))

@@ -1,0 +1,204 @@
+"""Encoder backbones: ResNet-34/50 and DenseNet-121, NHWC Flax.
+
+These mirror the torchvision architectures the reference wraps
+(advanced_models.py:72-155, 207-262) — same stage structure, channel dims
+and feature-extraction points — implemented natively for TPU: NHWC layout,
+BN with mutable batch stats, all convs MXU-shaped. The grayscale first conv
+(1→64, 7×7/2) lives here; pretrained RGB weights are adapted by channel-sum
+in the torchvision-checkpoint converter (segtpu/models/torch_convert.py),
+matching advanced_models.py:76-78.
+
+Returns the 5 skip features (x1..x5) at strides /2, /4, /8, /16, /32.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def _bn(train: bool, dtype, name=None):
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, dtype=dtype, name=name)
+
+
+def _maxpool_3x3_s2(x):
+    """torch MaxPool2d(3, stride 2, padding 1)."""
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+
+class BasicBlock(nn.Module):
+    """ResNet-34 residual block (2× conv3×3)."""
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        y = nn.Conv(self.features, (3, 3), strides=self.stride, padding=1,
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = _bn(train, self.dtype, "bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = _bn(train, self.dtype, "bn2")(y)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            residual = nn.Conv(self.features, (1, 1), strides=self.stride,
+                               use_bias=False, dtype=self.dtype,
+                               name="down_conv")(x)
+            residual = _bn(train, self.dtype, "down_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    """ResNet-50 bottleneck block (1×1 → 3×3(stride) → 1×1·4)."""
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+    EXPANSION: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        out_ch = self.features * self.EXPANSION
+        residual = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = _bn(train, self.dtype, "bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), strides=self.stride, padding=1,
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = _bn(train, self.dtype, "bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = _bn(train, self.dtype, "bn3")(y)
+        if self.stride != 1 or x.shape[-1] != out_ch:
+            residual = nn.Conv(out_ch, (1, 1), strides=self.stride,
+                               use_bias=False, dtype=self.dtype,
+                               name="down_conv")(x)
+            residual = _bn(train, self.dtype, "down_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNetEncoder(nn.Module):
+    """ResNet encoder with grayscale stem; yields x1..x5
+    (advanced_models.py:72-130, forward at :266-276)."""
+    block_counts: Sequence[int]  # (3,4,6,3) for both 34 and 50
+    bottleneck: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool) -> List[jnp.ndarray]:
+        x1 = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                     dtype=self.dtype, name="input_conv")(x)
+        x1 = _bn(train, self.dtype, "bn1")(x1)
+        x1 = nn.relu(x1)
+
+        block = Bottleneck if self.bottleneck else BasicBlock
+        widths = (64, 128, 256, 512)
+        feats = [x1]
+        y = _maxpool_3x3_s2(x1)
+        for li, (w, n) in enumerate(zip(widths, self.block_counts)):
+            for bi in range(n):
+                stride = 2 if (bi == 0 and li > 0) else 1
+                y = block(w, stride=stride, dtype=self.dtype,
+                          name=f"layer{li+1}_{bi}")(y, train)
+            feats.append(y)
+        return feats  # x1..x5
+
+
+class DenseLayer(nn.Module):
+    """DenseNet layer: BN→ReLU→1×1(4k)→BN→ReLU→3×3(k), concat."""
+    growth: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        y = _bn(train, self.dtype, "norm1")(x)
+        y = nn.relu(y)
+        y = nn.Conv(4 * self.growth, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(y)
+        y = _bn(train, self.dtype, "norm2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.growth, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        return jnp.concatenate([x, y], axis=-1)
+
+
+class DenseBlock(nn.Module):
+    num_layers: int
+    growth: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for i in range(self.num_layers):
+            x = DenseLayer(self.growth, dtype=self.dtype,
+                           name=f"denselayer{i+1}")(x, train)
+        return x
+
+
+class Transition(nn.Module):
+    out_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        y = _bn(train, self.dtype, "norm")(x)
+        y = nn.relu(y)
+        y = nn.Conv(self.out_features, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv")(y)
+        return nn.avg_pool(y, (2, 2), strides=(2, 2))
+
+
+class DenseNetEncoder(nn.Module):
+    """DenseNet-121 encoder matching the reference's 5-feature extraction
+    (advanced_models.py:207-262): x1 = input_conv output (no BN/ReLU),
+    x2..x5 = raw dense-block outputs (no final norm5).
+    Feature dims: 64, 256, 512, 1024, 1024."""
+    block_config: Sequence[int] = (6, 12, 24, 16)
+    growth: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool) -> List[jnp.ndarray]:
+        x1 = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                     dtype=self.dtype, name="input_conv")(x)
+        y = _bn(train, self.dtype, "norm0")(x1)
+        y = nn.relu(y)
+        y = _maxpool_3x3_s2(y)
+
+        feats = [x1]
+        ch = 64
+        for bi, n in enumerate(self.block_config):
+            y = DenseBlock(n, self.growth, dtype=self.dtype,
+                           name=f"denseblock{bi+1}")(y, train)
+            ch = ch + n * self.growth
+            feats.append(y)
+            if bi < len(self.block_config) - 1:
+                ch = ch // 2
+                y = Transition(ch, dtype=self.dtype,
+                               name=f"transition{bi+1}")(y, train)
+        return feats  # x1..x5
+
+
+BACKBONE_CHANNELS = {
+    "resnet34": (64, 64, 128, 256, 512),
+    "resnet50": (64, 256, 512, 1024, 2048),
+    "densenet121": (64, 256, 512, 1024, 1024),
+}
+
+
+def make_encoder(backbone: str, dtype=jnp.float32) -> nn.Module:
+    if backbone == "resnet34":
+        return ResNetEncoder((3, 4, 6, 3), bottleneck=False, dtype=dtype,
+                             name="encoder")
+    if backbone == "resnet50":
+        return ResNetEncoder((3, 4, 6, 3), bottleneck=True, dtype=dtype,
+                             name="encoder")
+    if backbone == "densenet121":
+        return DenseNetEncoder(dtype=dtype, name="encoder")
+    raise ValueError(f"Unknown backbone: {backbone}")

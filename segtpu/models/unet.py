@@ -1,0 +1,138 @@
+"""U-Net with configurable pretrained-style backbone and attention.
+
+Reference parity: ``UNetWithBackbone`` (advanced_models.py:64-357) — same
+three backbones (resnet34/resnet50/densenet121), same decoder channel plan,
+optional additive attention gates + SE channel attention at all four decoder
+levels, crop-based size-mismatch handling, ``return_features`` fused
+encoder features. Rebuilt TPU-first: NHWC layout, Flax modules, static-shape
+crops resolved at trace time, BN with mutable ``batch_stats`` collection.
+
+The decoder's conv3×3+BN+ReLU blocks and transposed-conv upsamples are the
+hot ops targeted by the Pallas kernels in ``segtpu/kernels`` (enabled via
+``fuse='pallas'`` once benchmarked; default XLA path is the parity
+reference).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from segtpu.models.attention import AttentionGate, ChannelAttention
+from segtpu.models.backbones import BACKBONE_CHANNELS, make_encoder
+from segtpu.ops.resize import resize_bilinear
+
+# Decoder plan per backbone: per level (upconv out, decoder out), then the
+# attention-gate intermediate dims — advanced_models.py:89-100, 119-130,
+# 143-155, 162-195.
+_DECODER_PLAN = {
+    "resnet34": dict(up=(256, 128, 64, 32), dec=(256, 128, 64, 32),
+                     att_int=(128, 64, 32, 32), head_in=32),
+    "resnet50": dict(up=(1024, 512, 256, 64), dec=(1024, 512, 256, 64),
+                     att_int=(512, 256, 128, 32), head_in=64),
+    "densenet121": dict(up=(512, 256, 128, 64), dec=(512, 256, 128, 64),
+                        att_int=(256, 128, 64, 32), head_in=64),
+}
+
+
+def _center_crop_to(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Center-crop spatial dims (static; advanced_models.py:317-325)."""
+    dh = x.shape[1] - h
+    dw = x.shape[2] - w
+    if dh > 0 or dw > 0:
+        return x[:, dh // 2: dh // 2 + h, dw // 2: dw // 2 + w, :]
+    return x
+
+
+class _DecoderBlock(nn.Module):
+    """conv3×3 → BN → ReLU ×2 (advanced_models.py:197-205)."""
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for i in (1, 2):
+            x = nn.Conv(self.features, (3, 3), padding=1, use_bias=True,
+                        dtype=self.dtype, name=f"conv{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name=f"bn{i}")(x)
+            x = nn.relu(x)
+        return x
+
+
+class UNetWithBackbone(nn.Module):
+    """Attention U-Net over a pretrained-style encoder.
+
+    Args mirror the reference constructor (advanced_models.py:65):
+    n_classes, backbone ∈ {resnet34, resnet50, densenet121}, use_attention.
+    (``pretrained`` is handled outside the module: see
+    ``segtpu.models.torch_convert.load_pretrained_encoder``.)
+
+    Input NHWC (B, H, W, 1); output logits (B, H, W, n_classes).
+    """
+    n_classes: int = 1
+    backbone: str = "resnet34"
+    use_attention: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 return_features: bool = False):
+        plan = _DECODER_PLAN[self.backbone]
+        feats = make_encoder(self.backbone, dtype=self.dtype)(x, train)
+        x1, x2, x3, x4, x5 = feats
+
+        d = x5
+        skips = (x4, x3, x2, x1)
+        for lvl, skip in zip((4, 3, 2, 1), skips):
+            i = 4 - lvl
+            d = nn.ConvTranspose(plan["up"][i], (2, 2), strides=(2, 2),
+                                 padding="VALID", dtype=self.dtype,
+                                 name=f"upconv{lvl}")(d)
+            if lvl == 1 and (d.shape[1] != skip.shape[1]
+                             or d.shape[2] != skip.shape[2]):
+                skip = _center_crop_to(skip, d.shape[1], d.shape[2])
+            if self.use_attention:
+                skip_att = AttentionGate(plan["att_int"][i], dtype=self.dtype,
+                                         name=f"attention{lvl}")(
+                                             g=d, x=skip, train=train)
+                d = jnp.concatenate([skip_att, d], axis=-1)
+                d = _DecoderBlock(plan["dec"][i], dtype=self.dtype,
+                                  name=f"decoder{lvl}")(d, train)
+                d = ChannelAttention(dtype=self.dtype,
+                                     name=f"ch_attention{lvl}")(d)
+            else:
+                d = jnp.concatenate([skip, d], axis=-1)
+                d = _DecoderBlock(plan["dec"][i], dtype=self.dtype,
+                                  name=f"decoder{lvl}")(d, train)
+
+        d0 = nn.ConvTranspose(16, (2, 2), strides=(2, 2), padding="VALID",
+                              dtype=self.dtype, name="upconv0")(d)
+        d0 = _center_crop_to(d0, x.shape[1], x.shape[2])
+        out = nn.Conv(self.n_classes, (1, 1), dtype=self.dtype,
+                      name="conv_final")(d0)
+
+        if return_features:
+            # Fuse x2 (bilinear-upsampled to x3's size) with x3
+            # (advanced_models.py:352-356). Resize per (batch, channel) 2-D
+            # slice: (B,H,W,C) → (B,C,H,W) → vmap² → back.
+            bchw = jnp.moveaxis(x2, -1, 1)
+            up = jax.vmap(jax.vmap(lambda im: resize_bilinear(
+                im, (x3.shape[1], x3.shape[2]))))(bchw)
+            x2_up = jnp.moveaxis(up, 1, -1)
+            combined = jnp.concatenate([x2_up, x3], axis=-1)
+            return out, combined
+        return out
+
+
+def create_model_state(model: UNetWithBackbone, rng: jax.Array,
+                       input_shape: Tuple[int, ...] = (1, 128, 128, 1)
+                       ) -> Tuple[Dict, Dict]:
+    """Initialize (params, batch_stats) for a model."""
+    init = jax.jit(lambda k: model.init(
+        k, jnp.zeros(input_shape, model.dtype), train=False))
+    variables = init(rng)
+    return variables["params"], variables.get("batch_stats", {})

@@ -1,0 +1,194 @@
+"""The jit-compiled training engine.
+
+TPU-first redesign of the reference's per-batch Python loop
+(train.py:17-112): an entire epoch is ONE device program — a ``lax.scan``
+over the stacked batch array — so there is no per-batch dispatch, no
+host↔device metric sync (the reference calls ``.item()`` five times per
+batch, train.py:52-60), and XLA can overlap weight update and next-batch
+compute. Metrics accumulate on device and are fetched once per epoch.
+
+Per-batch semantics match the reference exactly: metrics are computed per
+batch from train-mode outputs and averaged sample-weighted (train.py:56-67);
+evaluation uses running BN statistics (model.eval(), train.py:85-106).
+
+Engines are cached per (model-config, loss, weight-decay is injected) so CV
+folds and experiment sweeps reuse compiled programs: a new fold with the
+same shapes costs zero recompilation (SURVEY.md §2.1 #15).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from segtpu.losses import get_loss_function
+from segtpu.metrics import calculate_metrics
+from segtpu.models.unet import UNetWithBackbone, create_model_state
+from segtpu.train.optim import torch_adam, set_learning_rate
+
+METRIC_KEYS = ("precision", "recall", "f1", "iou", "accuracy", "loss")
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+class TrainEngine:
+    """Holds the jitted epoch/step programs for one (model, loss) pair."""
+
+    def __init__(self, model: UNetWithBackbone, loss_fn: Callable,
+                 weight_decay_default: float = 0.0):
+        self.model = model
+        self.loss_fn = loss_fn
+        self.tx = torch_adam(learning_rate=1e-3,
+                             weight_decay=weight_decay_default)
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+        self._train_epoch = jax.jit(self._train_epoch_impl, donate_argnums=(0,))
+        self._eval_epoch = jax.jit(self._eval_epoch_impl)
+
+    # ------------------------------------------------------------ init
+
+    def init_state(self, rng: jax.Array, input_shape, learning_rate: float,
+                   weight_decay: float) -> TrainState:
+        params, batch_stats = create_model_state(self.model, rng, input_shape)
+        opt_state = self.tx.init(params)
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            learning_rate, jnp.float32)
+        opt_state.hyperparams["weight_decay"] = jnp.asarray(
+            weight_decay, jnp.float32)
+        return TrainState(params=params, batch_stats=batch_stats,
+                          opt_state=opt_state)
+
+    # ------------------------------------------------------------ steps
+
+    def _forward_train(self, params, batch_stats, images):
+        return self.model.apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            train=True, mutable=["batch_stats"])
+
+    def _train_step_impl(self, state: TrainState, images, masks):
+        def loss_f(params):
+            logits, mut = self._forward_train(params, state.batch_stats, images)
+            return self.loss_fn(logits, masks), (logits, mut["batch_stats"])
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_f, has_aux=True)(state.params)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = calculate_metrics(jax.nn.sigmoid(logits), masks)
+        metrics["loss"] = loss
+        return TrainState(new_params, new_bs, new_opt), metrics
+
+    def _eval_step_impl(self, state: TrainState, images, masks):
+        logits = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=False)
+        loss = self.loss_fn(logits, masks)
+        metrics = calculate_metrics(jax.nn.sigmoid(logits), masks)
+        metrics["loss"] = loss
+        return metrics
+
+    def _train_epoch_impl(self, state: TrainState, images, masks):
+        """images/masks: (n_batches, B, S, S, 1) — scan the whole epoch."""
+
+        def body(st, batch):
+            st, m = self._train_step_impl(st, batch[0], batch[1])
+            return st, jnp.stack([m[k] for k in METRIC_KEYS])
+
+        state, ms = jax.lax.scan(body, state, (images, masks))
+        return state, ms  # (n_batches, len(METRIC_KEYS))
+
+    def _eval_epoch_impl(self, state: TrainState, images, masks):
+        def body(_, batch):
+            m = self._eval_step_impl(state, batch[0], batch[1])
+            return None, jnp.stack([m[k] for k in METRIC_KEYS])
+
+        _, ms = jax.lax.scan(body, None, (images, masks))
+        return ms
+
+    # ------------------------------------------------------------ epochs
+
+    def run_train_epoch(self, state: TrainState, loader, lr: float,
+                        key: Optional[jax.Array] = None
+                        ) -> Tuple[TrainState, Dict[str, float]]:
+        """One full training epoch (reference contract: train.py:17-68).
+
+        Returns sample-weighted epoch metrics as floats."""
+        set_learning_rate(state.opt_state, lr)
+        (fi, fm), rem = loader.batches(key)
+        n = loader.n
+        b = loader.batch_size
+        totals = jnp.zeros(len(METRIC_KEYS))
+        if fi.shape[0] > 0:
+            state, ms = self._train_epoch(state, fi, fm)
+            totals = totals + jnp.sum(ms, axis=0) * b
+        if rem is not None:
+            state, m = self._train_step(state, rem[0], rem[1])
+            r = rem[0].shape[0]
+            totals = totals + jnp.stack([m[k] for k in METRIC_KEYS]) * r
+        vals = jax.device_get(totals) / n
+        return state, dict(zip(METRIC_KEYS, map(float, vals)))
+
+    def run_eval_epoch(self, state: TrainState, loader) -> Dict[str, float]:
+        """Evaluation epoch (reference contract: train.py:71-112)."""
+        (fi, fm), rem = loader.batches(None) if loader.shuffle else \
+            loader.batches()
+        n = loader.n
+        b = loader.batch_size
+        totals = jnp.zeros(len(METRIC_KEYS))
+        if fi.shape[0] > 0:
+            ms = self._eval_epoch(state, fi, fm)
+            totals = totals + jnp.sum(ms, axis=0) * b
+        if rem is not None:
+            m = self._eval_step(state, rem[0], rem[1])
+            r = rem[0].shape[0]
+            totals = totals + jnp.stack([m[k] for k in METRIC_KEYS]) * r
+        vals = jax.device_get(totals) / n
+        return dict(zip(METRIC_KEYS, map(float, vals)))
+
+
+_ENGINE_CACHE: Dict[Tuple, TrainEngine] = {}
+
+
+def _loss_cache_key(config: Dict) -> Tuple:
+    keys = ("loss_fn", "smooth", "beta", "focal_alpha", "focal_gamma",
+            "loss_alpha", "alpha_dice", "alpha_bce", "alpha_focal",
+            "tversky_alpha", "tversky_beta", "focal_tversky_gamma",
+            "sensitivity_weight", "w_dice", "w_cross", "gamma_dice",
+            "gamma_cross", "distance_alpha", "hausdorff_alpha",
+            "boundary_theta0", "boundary_theta")
+    return tuple(config.get(k) for k in keys)
+
+
+def get_engine(config: Dict, criterion: Optional[Callable] = None
+               ) -> TrainEngine:
+    """Engine factory with cross-fold caching.
+
+    config keys (reference names): backbone, use_attention, n_classes.
+    If ``criterion`` is given it bypasses the cache (caller-managed)."""
+    model_key = (config.get("backbone", "resnet34"),
+                 bool(config.get("use_attention", True)),
+                 int(config.get("n_classes", 1)),
+                 str(config.get("dtype", "float32")))
+    if criterion is not None:
+        model = UNetWithBackbone(
+            n_classes=model_key[2], backbone=model_key[0],
+            use_attention=model_key[1],
+            dtype=jnp.dtype(model_key[3]))
+        return TrainEngine(model, criterion)
+    key = model_key + _loss_cache_key(config)
+    if key not in _ENGINE_CACHE:
+        model = UNetWithBackbone(
+            n_classes=model_key[2], backbone=model_key[0],
+            use_attention=model_key[1], dtype=jnp.dtype(model_key[3]))
+        _ENGINE_CACHE[key] = TrainEngine(model, get_loss_function(config))
+    return _ENGINE_CACHE[key]

@@ -1,0 +1,263 @@
+"""Training orchestration: ``train_model`` / ``quick_train``.
+
+Reference parity: train.py:115-364 — same contract (plateau LR on val IoU,
+early stopping, best-weights tracking and restore, identical result-dict
+schema, optional training-curve plots) on top of the jit-compiled epoch
+engine. Differences by design (all TPU-side wins, not behavior changes):
+
+- Data (paths or canonical arrays) is materialized once into HBM; the
+  augmented training set is generated on device (no temp_augmentation/ disk
+  round trip, dataset.py:156-202).
+- An epoch is one ``lax.scan`` program; host work per epoch is two scalar
+  fetches (train/val metric vectors).
+- best weights are device-array references (no deepcopy; JAX arrays are
+  immutable), restored at the end (train.py:207-226).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from segtpu.data.augment import CellAugmenter
+from segtpu.data.loader import DeviceDataLoader
+from segtpu.data.preprocess import load_canonical, normalize_canonical
+from segtpu.losses import get_loss_function
+from segtpu.train.engine import TrainEngine, TrainState, get_engine
+from segtpu.train.optim import EarlyStopping, ReduceLROnPlateau
+
+ArraysOrPaths = Union[Sequence[str], Tuple[np.ndarray, np.ndarray]]
+
+
+def _to_canonical(images, masks, img_size):
+    """Accept path lists (reference API) or pre-resized canonical uint8
+    arrays; return (imgs_u8 (N,S,S), masks_u8 (N,S,S))."""
+    if len(images) > 0 and isinstance(images[0], str):
+        return load_canonical(list(images), list(masks), img_size)
+    return np.asarray(images), np.asarray(masks)
+
+
+def _materialize(imgs_u8, masks_u8):
+    imgs = normalize_canonical(jnp.asarray(imgs_u8))
+    masks = (jnp.asarray(masks_u8) > 0).astype(jnp.float32)[..., None]
+    return imgs, masks
+
+
+def train_model(model=None, train_images: ArraysOrPaths = (),
+                train_masks: ArraysOrPaths = (),
+                val_images: ArraysOrPaths = (),
+                val_masks: ArraysOrPaths = (),
+                criterion: Optional[Callable] = None,
+                optimizer: Optional[Dict] = None,
+                scheduler: Optional[ReduceLROnPlateau] = None,
+                num_epochs: int = 50, device=None, config: Dict = None,
+                augmentations_per_image: int = 0,
+                save_plots: bool = True) -> Dict:
+    """Complete training loop with validation, augmentation and tracking
+    (reference: train_model, train.py:115-244).
+
+    ``model``: a TrainEngine, or None (built from config: backbone,
+    use_attention, n_classes). ``optimizer``: optional dict overriding
+    {'learning_rate', 'weight_decay'}. ``scheduler``: ReduceLROnPlateau or
+    None (no schedule). ``device`` is accepted for API parity and ignored
+    (JAX places arrays).
+
+    Returns the reference's result schema: train_metrics, val_metrics,
+    lr_history, best_iou, best_epoch, best_model_state, training_time,
+    final_train_metrics, final_val_metrics.
+    """
+    config = dict(config or {})
+    img_size = tuple(config.get("img_size", (256, 256)))
+    batch_size = int(config.get("batch_size", 2))
+    verbose = config.get("verbose", True)
+    seed = int(config.get("seed", 0))
+
+    engine = model if isinstance(model, TrainEngine) else \
+        get_engine(config, criterion)
+
+    # ---- data: canonical → (augment) → normalized device arrays
+    tr_ci, tr_cm = _to_canonical(train_images, train_masks, img_size)
+    va_ci, va_cm = _to_canonical(val_images, val_masks, img_size)
+
+    augmenter = CellAugmenter(augmentations_per_image, seed=seed)
+    if augmentations_per_image > 0:
+        tr_ci, tr_cm = augmenter.augment_training_data(tr_ci, tr_cm)
+
+    tr_imgs, tr_masks = _materialize(tr_ci, tr_cm)
+    va_imgs, va_masks = _materialize(va_ci, va_cm)
+
+    train_loader = DeviceDataLoader.from_arrays(
+        tr_imgs, tr_masks, batch_size, shuffle=True, seed=seed)
+    val_loader = DeviceDataLoader.from_arrays(
+        va_imgs, va_masks, batch_size, shuffle=False)
+
+    # ---- optimizer hyperparams (train.py:331-335 defaults)
+    opt = dict(optimizer or {})
+    lr = float(opt.get("learning_rate", config.get("learning_rate", 1e-3)))
+    wd = float(opt.get("weight_decay", config.get("weight_decay", 1e-5)))
+
+    state = engine.init_state(jax.random.key(seed), (1, *img_size, 1), lr, wd)
+
+    train_metrics_history: List[Dict] = []
+    val_metrics_history: List[Dict] = []
+    lr_history: List[float] = []
+    best_iou = 0.0
+    best_state: Optional[Tuple] = None
+    best_epoch = 0
+
+    early_stopping = EarlyStopping(
+        patience=config.get("early_stopping_patience", 7),
+        min_delta=config.get("early_stopping_min_delta", 0.001))
+
+    if verbose:
+        print("Starting training...")
+    start_time = time.time()
+
+    shuffle_key = jax.random.key(seed + 1)
+    train_metrics: Dict = {}
+    val_metrics: Dict = {}
+    for epoch in range(num_epochs):
+        shuffle_key, sk = jax.random.split(shuffle_key)
+        state, train_metrics = engine.run_train_epoch(state, train_loader,
+                                                      lr, sk)
+        train_metrics_history.append(train_metrics)
+
+        val_metrics = engine.run_eval_epoch(state, val_loader)
+        val_metrics_history.append(val_metrics)
+
+        if scheduler is not None:
+            lr = scheduler.step(val_metrics["iou"])
+        lr_history.append(lr)
+
+        if verbose:
+            print(f"Epoch {epoch+1:3d}/{num_epochs} - "
+                  f"Train Loss: {train_metrics['loss']:.4f}, "
+                  f"Train IoU: {train_metrics['iou']:.4f}, "
+                  f"Val Loss: {val_metrics['loss']:.4f}, "
+                  f"Val IoU: {val_metrics['iou']:.4f}, "
+                  f"LR: {lr:.6f}")
+
+        if val_metrics["iou"] > best_iou:
+            best_iou = val_metrics["iou"]
+            best_state = (state.params, state.batch_stats)
+            best_epoch = epoch
+
+        if early_stopping.step(val_metrics["iou"]):
+            if verbose:
+                print(f"Early stopping triggered at epoch {epoch+1}")
+            break
+
+    time_elapsed = time.time() - start_time
+    if verbose:
+        print(f"Training complete in {time_elapsed // 60:.0f}m "
+              f"{time_elapsed % 60:.0f}s")
+        print(f"Best validation IoU: {best_iou:.4f} at epoch {best_epoch+1}")
+
+    if best_state is not None:
+        state = state.replace(params=best_state[0], batch_stats=best_state[1])
+
+    if save_plots and config.get("save_plots", False):
+        plot_training_history(train_metrics_history, val_metrics_history,
+                              lr_history, config)
+
+    augmenter.cleanup()
+
+    return {
+        "train_metrics": train_metrics_history,
+        "val_metrics": val_metrics_history,
+        "lr_history": lr_history,
+        "best_iou": best_iou,
+        "best_epoch": best_epoch,
+        "best_model_state": best_state,
+        "state": state,
+        "training_time": time_elapsed,
+        "final_train_metrics": train_metrics,
+        "final_val_metrics": val_metrics,
+    }
+
+
+def train_epoch(engine: TrainEngine, state: TrainState,
+                loader: DeviceDataLoader, lr: float = 1e-3,
+                key=None) -> Tuple[TrainState, Dict]:
+    """Single-epoch entry point (reference: train_epoch, train.py:17-68)."""
+    return engine.run_train_epoch(state, loader, lr, key)
+
+
+def evaluate(engine: TrainEngine, state: TrainState,
+             loader: DeviceDataLoader) -> Dict:
+    """Evaluation entry point (reference: evaluate, train.py:71-112)."""
+    return engine.run_eval_epoch(state, loader)
+
+
+def quick_train(model=None, train_images=(), train_masks=(), val_images=(),
+                val_masks=(), config: Dict = None, device=None,
+                augmentations_per_image: int = 0) -> Dict:
+    """One-call training with the standard setup (train.py:301-364):
+    loss from config, Adam(lr=1e-3, wd=1e-5), plateau scheduler
+    (max, ×0.5, patience=scheduler_patience|3, threshold .01, min_lr 1e-6)."""
+    config = dict(config or {})
+    criterion = get_loss_function(config)
+    lr = config.get("learning_rate", 1e-3)
+    scheduler = ReduceLROnPlateau(
+        initial_lr=lr, mode="max", factor=0.5,
+        patience=config.get("scheduler_patience", 3), threshold=0.01,
+        min_lr=1e-6)
+    return train_model(
+        model=model, train_images=train_images, train_masks=train_masks,
+        val_images=val_images, val_masks=val_masks, criterion=None,
+        optimizer={"learning_rate": lr,
+                   "weight_decay": config.get("weight_decay", 1e-5)},
+        scheduler=scheduler, num_epochs=config.get("num_epochs", 50),
+        device=device, config=config,
+        augmentations_per_image=augmentations_per_image,
+        save_plots=config.get("save_plots", True))
+
+
+def plot_training_history(train_metrics: List[Dict], val_metrics: List[Dict],
+                          lr_history: List[float], config: Dict) -> None:
+    """Loss/IoU/LR curves (reference: plot_training_history,
+    train.py:247-298)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(15, 5))
+
+    plt.subplot(1, 3, 1)
+    plt.plot([m["loss"] for m in train_metrics], label="Train", linewidth=2)
+    plt.plot([m["loss"] for m in val_metrics], label="Validation", linewidth=2)
+    plt.title("Training and Validation Loss")
+    plt.xlabel("Epoch")
+    plt.ylabel("Loss")
+    plt.legend()
+    plt.grid(True, alpha=0.3)
+
+    plt.subplot(1, 3, 2)
+    plt.plot([m["iou"] for m in train_metrics], label="Train", linewidth=2)
+    plt.plot([m["iou"] for m in val_metrics], label="Validation", linewidth=2)
+    plt.title("Training and Validation IoU")
+    plt.xlabel("Epoch")
+    plt.ylabel("IoU")
+    plt.legend()
+    plt.grid(True, alpha=0.3)
+
+    plt.subplot(1, 3, 3)
+    plt.plot(lr_history, linewidth=2, color="orange")
+    plt.title("Learning Rate Schedule")
+    plt.xlabel("Epoch")
+    plt.ylabel("Learning Rate")
+    plt.yscale("log")
+    plt.grid(True, alpha=0.3)
+
+    plt.tight_layout()
+    if config.get("save_dir"):
+        import os
+        os.makedirs(config["save_dir"], exist_ok=True)
+        out = f"{config['save_dir']}/training_curves.png"
+        plt.savefig(out, dpi=200, bbox_inches="tight")
+        print(f"Training plots saved to {out}")
+    plt.close(fig)

@@ -1,0 +1,108 @@
+"""Optimizer + schedules with torch-parity semantics.
+
+- ``torch_adam``: Adam with *coupled* L2 weight decay (decay added to the
+  gradient before the moment updates), matching ``torch.optim.Adam``'s
+  ``weight_decay`` — the optimizer every reference entry point uses
+  (train.py:331-335, cross_validation.py:93-97). optax's ``adamw`` is
+  decoupled, so we compose the torch behavior explicitly. Both the learning
+  rate and decay are injected hyperparameters so plateau scheduling never
+  triggers a recompile.
+- ``ReduceLROnPlateau``: host-side epoch-boundary controller replicating
+  ``torch.optim.lr_scheduler.ReduceLROnPlateau`` (mode max, rel threshold)
+  as configured at train.py:338-345 / cross_validation.py:98-100.
+- ``EarlyStopping``: patience counter on max-mode score (utils.py:174-190).
+
+Both controllers are pure Python run between jitted epochs (SURVEY.md §7
+hard part 7): the LR enters the device graph as a scalar hyperparameter.
+"""
+
+from __future__ import annotations
+
+import optax
+
+
+def _torch_adam_chain(learning_rate: float, weight_decay: float = 0.0,
+                      b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),  # grad += wd * param (coupled)
+        optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
+def torch_adam(learning_rate: float = 1e-3, weight_decay: float = 0.0,
+               b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+    """torch.optim.Adam-equivalent optax transform with injectable
+    learning_rate / weight_decay hyperparameters."""
+    return optax.inject_hyperparams(_torch_adam_chain)(
+        learning_rate=learning_rate, weight_decay=weight_decay, b1=b1, b2=b2,
+        eps=eps)
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Update the injected learning rate in an inject_hyperparams state
+    (same pytree structure → no recompilation)."""
+    import jax.numpy as jnp
+    old = opt_state.hyperparams["learning_rate"]
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=old.dtype)
+    return opt_state
+
+
+class ReduceLROnPlateau:
+    """torch ReduceLROnPlateau parity (the subset the reference uses:
+    mode='max', threshold_mode='rel', cooldown=0)."""
+
+    def __init__(self, initial_lr: float, mode: str = "max", factor: float = 0.5,
+                 patience: int = 3, threshold: float = 1e-4,
+                 min_lr: float = 0.0):
+        assert mode in ("max", "min")
+        self.lr = float(initial_lr)
+        self.mode = mode
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.min_lr = min_lr
+        self.best = None
+        self.num_bad_epochs = 0
+
+    def _is_better(self, current: float) -> bool:
+        if self.best is None:
+            return True
+        if self.mode == "max":
+            return current > self.best * (1.0 + self.threshold) if self.best >= 0 \
+                else current > self.best * (1.0 - self.threshold)
+        return current < self.best * (1.0 - self.threshold) if self.best >= 0 \
+            else current < self.best * (1.0 + self.threshold)
+
+    def step(self, metric: float) -> float:
+        """Feed the epoch metric; returns the (possibly reduced) LR."""
+        if self._is_better(metric):
+            self.best = metric
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+            if self.num_bad_epochs > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.num_bad_epochs = 0
+        return self.lr
+
+
+class EarlyStopping:
+    """Patience counter on a max-mode score (utils.py:174-190)."""
+
+    def __init__(self, patience: int = 10, min_delta: float = 0.001):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.counter = 0
+        self.best_score = None
+        self.early_stop = False
+
+    def step(self, current_score: float) -> bool:
+        if self.best_score is None or current_score > self.best_score + self.min_delta:
+            self.best_score = current_score
+            self.counter = 0
+        else:
+            self.counter += 1
+            if self.counter >= self.patience:
+                self.early_stop = True
+        return self.early_stop
