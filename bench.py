@@ -1,0 +1,110 @@
+"""Headline benchmark: segmentation inference throughput at 512×512.
+
+Measures steady-state images/sec of the flagship model (resnet34 +
+attention U-Net) on the available accelerator (TPU), and compares against
+the reference-equivalent PyTorch model on this machine's CPU
+(tools/torch_baseline.py) — the BASELINE.json metric
+("images/sec/chip at 512x512 segmentation inference", north star ≥10×
+reference CPU). The CPU baseline is measured once and cached in
+BASELINE_LOCAL.json.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SIZE = 512
+BATCH = 8
+WARMUP = 3
+ITERS = 20
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BASELINE_LOCAL.json")
+
+
+def measure_tpu_throughput() -> float:
+    """Steady-state throughput with tunnel-safe timing.
+
+    On this rig the TPU is reached through a relay where
+    ``block_until_ready`` does not actually synchronize and every
+    ``device_get`` pays ~1s of fixed round-trip latency. We therefore time
+    two runs of different iteration counts, each synced by a single scalar
+    fetch, and fit out the fixed overhead:
+        T(n) = overhead + n · t_batch  →  t_batch = (T(n2) − T(n1))/(n2 − n1)
+    """
+    import jax
+    import jax.numpy as jnp
+    from segtpu.models import UNetWithBackbone, create_model_state
+
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    model = UNetWithBackbone(backbone="resnet34", use_attention=True,
+                             dtype=dtype)
+    params, batch_stats = create_model_state(
+        model, jax.random.key(0), (1, SIZE, SIZE, 1))
+
+    @jax.jit
+    def fwd(params, batch_stats, x):
+        logits = model.apply({"params": params, "batch_stats": batch_stats},
+                             x, train=False)
+        return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    x = jax.random.normal(jax.random.key(1), (BATCH, SIZE, SIZE, 1),
+                          jnp.float32)
+
+    def run(n: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fwd(params, batch_stats, x)
+        jax.device_get(out[0, 0, 0, 0])  # real sync (block_until_ready lies)
+        return time.perf_counter() - t0
+
+    run(WARMUP)  # compile + warm
+    n1, n2 = ITERS, ITERS * 3
+    t1 = min(run(n1), run(n1))
+    t2 = min(run(n2), run(n2))
+    t_batch = max((t2 - t1) / (n2 - n1), 1e-9)
+    return BATCH / t_batch
+
+
+def get_cpu_baseline() -> float:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cached = json.load(f)
+        if cached.get("size") == SIZE:
+            return cached["cpu_images_per_sec"]
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tools"))
+    from torch_baseline import measure_cpu_throughput
+    val = measure_cpu_throughput(size=SIZE, batch=1, warmup=1, iters=2)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"size": SIZE, "cpu_images_per_sec": val,
+                   "note": "reference-equivalent resnet34+attention U-Net, "
+                           "torch CPU eval mode on this machine"}, f, indent=2)
+    return val
+
+
+def main():
+    value = measure_tpu_throughput()
+    try:
+        baseline = get_cpu_baseline()
+    except Exception as e:  # torch missing/failed — report absolute only
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        baseline = None
+    vs = (value / baseline) if baseline else None
+    print(json.dumps({
+        "metric": "images/sec/chip at 512x512 segmentation inference "
+                  "(resnet34+attention U-Net)",
+        "value": round(value, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -4,15 +4,20 @@ initializes, so pjit/GSPMD sharding tests run without a TPU slice
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force override: the environment presets the axon TPU tunnel (its
+# sitecustomize register() wins over JAX_PLATFORMS env); tests must run on
+# the local 8-virtual-device CPU platform. jax.config.update is the only
+# override that sticks.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-import jax
+import jax  # noqa: E402
 
-# Persistent compilation cache: XLA compiles of the U-Net graphs are very
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: XLA compiles of the U-Net graphs are
 # expensive on this box's single CPU core; cache them across test runs.
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/segtpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
