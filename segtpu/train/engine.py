@@ -50,9 +50,12 @@ class TrainEngine:
         self.tx = torch_adam(learning_rate=1e-3,
                              weight_decay=weight_decay_default)
 
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        # NOTE: no buffer donation — the training loop snapshots best
+        # params by reference (train.py:207-210 analog) and callers may
+        # reuse a state pytree; donation would delete those buffers.
+        self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
-        self._train_epoch = jax.jit(self._train_epoch_impl, donate_argnums=(0,))
+        self._train_epoch = jax.jit(self._train_epoch_impl)
         self._eval_epoch = jax.jit(self._eval_epoch_impl)
 
     # ------------------------------------------------------------ init

@@ -1,0 +1,70 @@
+"""Tiled inference tests: blending exactness and model-path sanity."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from segtpu.infer.tiled import make_tiled_predictor, _blend_window, _tile_origins
+
+
+def test_blend_window_partition_of_unity():
+    tile, overlap = 64, 16
+    w = _blend_window(tile, overlap)
+    stride = tile - overlap
+    # Two windows offset by the stride must sum to 1 in the overlap region
+    # (checked along the interior row to isolate the 1-D ramp).
+    col = w[tile // 2, :overlap] + w[tile // 2, stride:]
+    np.testing.assert_allclose(col, 1.0, atol=1e-6)
+
+
+def test_tile_origins_cover():
+    for size, tile, stride in [(100, 64, 48), (512, 128, 96), (64, 64, 48)]:
+        org = _tile_origins(size, tile, stride)
+        covered = np.zeros(size, bool)
+        for o in org:
+            covered[o:o + tile] = True
+        assert covered.all()
+        assert org[-1] + tile <= size
+
+
+def test_tiled_identity_function_exact():
+    """With apply_fn = 2x identity, tiled output must equal 2·input
+    everywhere — validates extraction, blending and normalization."""
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(200, 168, 1)).astype(np.float32))
+
+    predictor = make_tiled_predictor(lambda x: x * 2.0, tile=64, overlap=16,
+                                     batch_tiles=4)
+    out = np.asarray(predictor(img))
+    np.testing.assert_allclose(out, np.asarray(img) * 2.0, atol=1e-5)
+
+
+def test_tiled_multichannel_output():
+    """apply_fn changing channel count (1 → 3)."""
+    img = jnp.ones((96, 96, 1), jnp.float32)
+
+    def apply_fn(x):
+        return jnp.concatenate([x, x * 2, x * 3], axis=-1)
+
+    predictor = make_tiled_predictor(apply_fn, tile=64, overlap=16,
+                                     batch_tiles=2)
+    out = np.asarray(predictor(img))
+    assert out.shape == (96, 96, 3)
+    np.testing.assert_allclose(out[..., 2], 3.0, atol=1e-5)
+
+
+def test_tiled_with_real_model():
+    from segtpu.models import UNetWithBackbone, create_model_state
+    from segtpu.infer.tiled import tiled_predict
+    from segtpu.train.engine import TrainState
+
+    m = UNetWithBackbone(backbone="resnet34", use_attention=False)
+    params, bs = create_model_state(m, jax.random.key(0), (1, 64, 64, 1))
+    state = TrainState(params=params, batch_stats=bs, opt_state=None)
+    img = np.random.default_rng(1).random((160, 160)).astype(np.float32)
+    probs = tiled_predict(m, state, img, tile=64, overlap=16, batch_tiles=2)
+    assert probs.shape == (160, 160, 1)
+    assert np.isfinite(probs).all()
+    assert probs.min() >= 0.0 and probs.max() <= 1.0
