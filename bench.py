@@ -20,9 +20,9 @@ import sys
 import time
 
 SIZE = 512
-BATCH = 8
+BATCH = 32  # measured best throughput point on v5e (679 img/s vs 592 @ bs8)
 WARMUP = 3
-ITERS = 20
+ITERS = 10
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BASELINE_LOCAL.json")
 
