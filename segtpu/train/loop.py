@@ -117,6 +117,12 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
         print("Starting training...")
     start_time = time.time()
 
+    # observability (SURVEY.md §5): structured JSONL metrics + NaN guard
+    from segtpu.core.logging import MetricsLogger
+    logger = MetricsLogger(config.get("metrics_log"), echo=False) \
+        if config.get("metrics_log") else None
+    debug_nans = bool(config.get("debug_nans", False))
+
     shuffle_key = jax.random.key(seed + 1)
     train_metrics: Dict = {}
     val_metrics: Dict = {}
@@ -129,9 +135,21 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
         val_metrics = engine.run_eval_epoch(state, val_loader)
         val_metrics_history.append(val_metrics)
 
+        if debug_nans and not (np.isfinite(train_metrics["loss"])
+                               and np.isfinite(val_metrics["loss"])):
+            raise FloatingPointError(
+                f"Non-finite loss at epoch {epoch+1}: "
+                f"train={train_metrics['loss']}, val={val_metrics['loss']}")
+
         if scheduler is not None:
             lr = scheduler.step(val_metrics["iou"])
         lr_history.append(lr)
+
+        if logger is not None:
+            logger.log({"epoch": epoch, "lr": lr,
+                        **{f"train_{k}": v for k, v in train_metrics.items()},
+                        **{f"val_{k}": v for k, v in val_metrics.items()}},
+                       kind="epoch")
 
         if verbose:
             print(f"Epoch {epoch+1:3d}/{num_epochs} - "
@@ -165,6 +183,8 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
                               lr_history, config)
 
     augmenter.cleanup()
+    if logger is not None:
+        logger.close()
 
     return {
         "train_metrics": train_metrics_history,

@@ -1,0 +1,61 @@
+"""Pallas kernel correctness vs XLA references (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from segtpu.kernels.fused_conv import (
+    conv3x3_bn_relu_pallas,
+    conv3x3_bn_relu_xla,
+    upsample2x_concat_pallas,
+    upsample2x_concat_xla,
+    fold_bn,
+)
+
+
+@pytest.fixture
+def interp():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def test_conv3x3_bn_relu_matches_xla(rng, interp):
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 8, 16)).astype(np.float32) * 0.1)
+    scale = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+    ref = conv3x3_bn_relu_xla(x, w, scale, bias)
+    got = conv3x3_bn_relu_pallas(x, w, scale, bias, tile=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_upsample_concat_matches_xla(rng, interp):
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(2, 2, 8, 12)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.normal(size=(12,)).astype(np.float32))
+    skip = jnp.asarray(rng.normal(size=(2, 32, 32, 4)).astype(np.float32))
+    ref = upsample2x_concat_xla(x, w, b, skip)
+    got = upsample2x_concat_pallas(x, w, b, skip, tile=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_fold_bn_equivalence(rng):
+    """conv → BN(inference) == conv with folded weights."""
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 4, 6)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(6,)).astype(np.float32))
+    sc = jnp.asarray(rng.uniform(0.5, 1.5, 6).astype(np.float32))
+    sh = jnp.asarray(rng.normal(size=(6,)).astype(np.float32))
+    mean = jnp.asarray(rng.normal(size=(6,)).astype(np.float32) * 0.1)
+    var = jnp.asarray(rng.uniform(0.5, 2.0, 6).astype(np.float32))
+
+    conv = lambda x, w: jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ref = sc * (conv(x, w) + b - mean) / jnp.sqrt(var + 1e-5) + sh
+    wf, bf = fold_bn(w, b, sc, sh, mean, var)
+    got = conv(x, wf) + bf
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
