@@ -1,0 +1,174 @@
+"""High-level fit / predict / evaluate API.
+
+The public one-stop surface demanded by the north star (BASELINE.json:
+"public fit/predict/evaluate API and per-pixel mask outputs match the
+reference"). Wraps the training engine, data layer, tiled inference and
+checkpointing behind a scikit-learn-ish object.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from segtpu.data.loader import DeviceDataLoader
+from segtpu.data.preprocess import load_canonical, normalize_canonical
+from segtpu.train.engine import TrainState, get_engine
+from segtpu.train.loop import quick_train, _materialize, _to_canonical
+
+
+class Segmenter:
+    """Binary cell-segmentation model with the reference's architecture
+    options (advanced_models.py:65) behind fit/predict/evaluate.
+
+    Example::
+
+        seg = Segmenter(backbone="resnet34", use_attention=True)
+        seg.fit(train_imgs, train_masks, val_imgs, val_masks,
+                augmentations_per_image=3)
+        masks = seg.predict(test_imgs)            # (N, S, S, 1) uint8
+        metrics = seg.evaluate(test_imgs, test_masks)
+        seg.save("ckpt_dir")
+    """
+
+    def __init__(self, backbone: str = "resnet34", use_attention: bool = True,
+                 n_classes: int = 1, config: Optional[Dict] = None):
+        self.config = dict(config or {})
+        self.config.update({"backbone": backbone,
+                            "use_attention": use_attention,
+                            "n_classes": n_classes})
+        self.config.setdefault("img_size", (128, 128))
+        self.config.setdefault("batch_size", 4)
+        self.config.setdefault("loss_fn", "combo")
+        self.engine = get_engine(self.config)
+        self.state: Optional[TrainState] = None
+        self.history: Optional[Dict] = None
+
+    # ------------------------------------------------------------- train
+
+    def fit(self, train_images, train_masks, val_images=None, val_masks=None,
+            augmentations_per_image: int = 0, **config_overrides
+            ) -> "Segmenter":
+        """Train with the reference's standard setup (quick_train contract,
+        train.py:301-364). Inputs are path lists or canonical uint8 arrays;
+        with no val split given, a 80/20 tail split is used."""
+        cfg = dict(self.config)
+        cfg.update(config_overrides)
+        if val_images is None:
+            n = len(train_images)
+            k = max(1, n // 5)
+            val_images, val_masks = train_images[-k:], train_masks[-k:]
+            train_images, train_masks = train_images[:-k], train_masks[:-k]
+        results = quick_train(
+            model=self.engine,
+            train_images=train_images, train_masks=train_masks,
+            val_images=val_images, val_masks=val_masks, config=cfg,
+            augmentations_per_image=augmentations_per_image)
+        self.history = results
+        self.state = results["state"]
+        return self
+
+    # ----------------------------------------------------------- predict
+
+    def _require_state(self) -> TrainState:
+        if self.state is None:
+            raise RuntimeError("Model is not fitted/loaded yet")
+        return self.state
+
+    def _prep_images(self, images) -> jnp.ndarray:
+        """Paths / raw uint8 arrays / preprocessed float arrays →
+        (N, S, S, 1) float32 model inputs."""
+        img_size = tuple(self.config["img_size"])
+        if len(images) > 0 and isinstance(images[0], str):
+            ci, _ = load_canonical(list(images), list(images), img_size)
+            return normalize_canonical(jnp.asarray(ci))
+        arr = np.asarray(images)
+        if arr.dtype == np.uint8:
+            if arr.shape[1:3] != img_size:
+                from segtpu.ops.resize import resize_area
+                arr = np.stack([np.asarray(
+                    jnp.floor(jnp.clip(resize_area(jnp.asarray(a), img_size),
+                                       0, 255) + 0.5)).astype(np.uint8)
+                    for a in arr])
+            return normalize_canonical(jnp.asarray(arr.squeeze(-1)
+                                                   if arr.ndim == 4 else arr))
+        if arr.ndim == 3:
+            arr = arr[..., None]
+        return jnp.asarray(arr, jnp.float32)
+
+    def predict_proba(self, images) -> np.ndarray:
+        """Sigmoid probability maps (N, S, S, n_classes)."""
+        state = self._require_state()
+        x = self._prep_images(images)
+        from segtpu.infer.predict import predict_proba
+        return np.asarray(predict_proba(self.engine.model, state, x))
+
+    def predict(self, images, threshold: float = 0.5,
+                post_process_min_size: Optional[int] = None) -> np.ndarray:
+        """Binary masks at the reference's 0.5 threshold (utils.py:108),
+        optionally with connected-component cleanup (utils.py:58-84)."""
+        probs = self.predict_proba(images)
+        if post_process_min_size is not None:
+            from segtpu.metrics import post_process
+            return np.stack([post_process(p[..., 0], post_process_min_size)
+                             for p in probs])[..., None]
+        return (probs > threshold).astype(np.uint8)
+
+    def predict_tiled(self, image, tile: int = 512, overlap: int = 64,
+                      batch_tiles: int = 8) -> np.ndarray:
+        """Large-image sliding-window inference with overlap blending."""
+        from segtpu.infer.tiled import tiled_predict
+        return tiled_predict(self.engine.model, self._require_state(), image,
+                             tile=tile, overlap=overlap,
+                             batch_tiles=batch_tiles)
+
+    # ---------------------------------------------------------- evaluate
+
+    def evaluate(self, images, masks) -> Dict[str, float]:
+        """Reference evaluate contract (train.py:71-112): sample-weighted
+        loss + confusion metrics on a dataset."""
+        state = self._require_state()
+        img_size = tuple(self.config["img_size"])
+        ci, cm = _to_canonical(images, masks, img_size)
+        imgs, m = _materialize(ci, cm)
+        loader = DeviceDataLoader.from_arrays(
+            imgs, m, self.config["batch_size"], shuffle=False)
+        return self.engine.run_eval_epoch(state, loader)
+
+    # ------------------------------------------------------- persistence
+
+    def save(self, path: str, name: str = "segmenter") -> str:
+        from segtpu.train.checkpoint import save_checkpoint
+        state = self._require_state()
+        return save_checkpoint(path, {"params": state.params,
+                                      "batch_stats": state.batch_stats,
+                                      "config": {}}, name=name)
+
+    def load(self, path: str, name: str = "segmenter") -> "Segmenter":
+        from segtpu.train.checkpoint import load_checkpoint
+        restored = load_checkpoint(path, name=name)
+        params = jax.tree.map(jnp.asarray, restored["params"])
+        stats = jax.tree.map(jnp.asarray, restored["batch_stats"])
+        self.state = TrainState(params=params, batch_stats=stats,
+                                opt_state=None)
+        return self
+
+    def load_pretrained_encoder(self, checkpoint_path: str) -> "Segmenter":
+        """pretrained=True path: overlay torchvision encoder weights from a
+        local torch checkpoint (advanced_models.py:73-139 behavior)."""
+        from segtpu.models.torch_convert import load_pretrained
+        img_size = tuple(self.config["img_size"])
+        params, stats = load_pretrained(
+            self.engine.model, jax.random.key(self.config.get("seed", 0)),
+            (1, *img_size, 1), checkpoint_path, kind="torchvision")
+        lr = self.config.get("learning_rate", 1e-3)
+        wd = self.config.get("weight_decay", 1e-5)
+        opt_state = self.engine.tx.init(params)
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        opt_state.hyperparams["weight_decay"] = jnp.asarray(wd, jnp.float32)
+        self.state = TrainState(params=params, batch_stats=stats,
+                                opt_state=opt_state)
+        return self

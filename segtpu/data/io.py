@@ -28,6 +28,17 @@ def decode_gray(path: str) -> np.ndarray:
     hit = _DECODE_CACHE.get(key)
     if hit is not None:
         return hit
+    # native C++ strip-TIFF fast path (native/segtpu_io.cc); PIL fallback
+    try:
+        from segtpu.data.native import native_decode_gray
+        arr = native_decode_gray(path)
+        if arr is not None:
+            if len(_DECODE_CACHE) >= _CACHE_MAX:
+                _DECODE_CACHE.clear()
+            _DECODE_CACHE[key] = arr
+            return arr
+    except Exception:
+        pass
     from PIL import Image
     with Image.open(path) as im:
         if im.mode in ("I;16", "I;16B", "I"):

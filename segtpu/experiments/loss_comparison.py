@@ -204,9 +204,11 @@ def plot_generalization_results(cv_results: Dict, gen_results: Dict,
 def main(data_dir: str = "manual_labels", image_type: str = "W",
          n_splits: int = 5, test_size: float = 0.2,
          augmentations_per_image: int = 3, random_state: int = 42,
-         base_overrides: Dict = None, save_root: str = "experiments") -> Dict:
+         base_overrides: Dict = None, save_root: str = "experiments",
+         loss_filter: List[str] = None) -> Dict:
     """Full two-phase loss comparison
-    (loss_function_cross_validation.py:261-392)."""
+    (loss_function_cross_validation.py:261-392). ``loss_filter``
+    optionally restricts to a subset of loss names (smoke runs)."""
     ts = timestamp()
     save_dir = os.path.join(save_root, f"loss_comparison_{ts}")
     os.makedirs(save_dir, exist_ok=True)
@@ -215,6 +217,9 @@ def main(data_dir: str = "manual_labels", image_type: str = "W",
     print("LOSS FUNCTION COMPARISON")
     print("=" * 80)
     loss_configs = get_loss_configurations(base_overrides)
+    if loss_filter:
+        loss_configs = [c for c in loss_configs if c["name"] in loss_filter
+                        or c["loss_fn"] in loss_filter]
     print(f"Testing {len(loss_configs)} loss functions:")
     for config in loss_configs:
         print(f"  - {config['name']}")
