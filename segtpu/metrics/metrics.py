@@ -140,9 +140,21 @@ def iou_score(pred, target, apply_post_processing: bool = False,
     return float(intersection / (union + _EPS))
 
 
-def compute_foreground_ratio(masks) -> float:
-    """Fraction of foreground pixels over a stack/iterable of masks
-    (utils.py:9-23)."""
+def compute_foreground_ratio(masks=None, image_type: str = "W",
+                             data_dir: str = "manual_labels",
+                             img_size=(256, 256)) -> float:
+    """Fraction of foreground pixels (utils.py:9-23).
+
+    Either pass an iterable/stack of masks, or (reference signature) let it
+    load+preprocess the dataset itself from ``data_dir``/``image_type``."""
+    if masks is None:
+        from segtpu.data.discovery import load_original_data
+        from segtpu.data.loader import CellSegmentationDataset
+        data = load_original_data(data_dir, image_type)
+        ds = CellSegmentationDataset(data["image_paths"], data["mask_paths"],
+                                     img_size=img_size)
+        _, masks_arr = ds.materialize()
+        masks = [np.asarray(masks_arr)]
     total = 0
     fg = 0.0
     for m in masks:
