@@ -28,3 +28,26 @@ grayscale cell-microscopy images) designed TPU-first:
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (opt out: SEGTPU_NO_COMPILE_CACHE=1).
+
+    U-Net epoch programs are expensive to compile (remote-compile tunnels,
+    slow host CPUs); the cache makes repeat experiment runs start in
+    seconds instead of minutes."""
+    import os
+    if os.environ.get("SEGTPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("SEGTPU_COMPILE_CACHE",
+                                         "/root/.cache/segtpu_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()

@@ -141,11 +141,9 @@ class TrainEngine:
         vals = jax.device_get(totals) / n
         return state, dict(zip(METRIC_KEYS, map(float, vals)))
 
-    def run_eval_epoch(self, state: TrainState, loader) -> Dict[str, float]:
-        """Evaluation epoch (reference contract: train.py:71-112)."""
-        (fi, fm), rem = loader.batches(None) if loader.shuffle else \
-            loader.batches()
-        n = loader.n
+    def _eval_totals(self, state: TrainState, loader) -> jnp.ndarray:
+        """Device-side sample-weighted metric totals for one eval pass."""
+        (fi, fm), rem = loader.batches()
         b = loader.batch_size
         totals = jnp.zeros(len(METRIC_KEYS))
         if fi.shape[0] > 0:
@@ -155,8 +153,39 @@ class TrainEngine:
             m = self._eval_step(state, rem[0], rem[1])
             r = rem[0].shape[0]
             totals = totals + jnp.stack([m[k] for k in METRIC_KEYS]) * r
-        vals = jax.device_get(totals) / n
+        return totals
+
+    def run_eval_epoch(self, state: TrainState, loader) -> Dict[str, float]:
+        """Evaluation epoch (reference contract: train.py:71-112)."""
+        vals = jax.device_get(self._eval_totals(state, loader)) / loader.n
         return dict(zip(METRIC_KEYS, map(float, vals)))
+
+    def run_train_and_eval_epoch(self, state: TrainState, train_loader,
+                                 val_loader, lr: float,
+                                 key: Optional[jax.Array] = None):
+        """Train epoch + validation epoch with a SINGLE host↔device sync.
+
+        On relay-attached TPUs every device fetch pays ~1s of round-trip
+        latency; dispatching both epochs asynchronously and fetching the two
+        metric vectors together halves the per-epoch host overhead."""
+        set_learning_rate(state.opt_state, lr)
+        (fi, fm), rem = train_loader.batches(key)
+        n = train_loader.n
+        b = train_loader.batch_size
+        totals = jnp.zeros(len(METRIC_KEYS))
+        if fi.shape[0] > 0:
+            state, ms = self._train_epoch(state, fi, fm)
+            totals = totals + jnp.sum(ms, axis=0) * b
+        if rem is not None:
+            state, m = self._train_step(state, rem[0], rem[1])
+            r = rem[0].shape[0]
+            totals = totals + jnp.stack([m[k] for k in METRIC_KEYS]) * r
+        val_totals = self._eval_totals(state, val_loader)
+        tvals, vvals = jax.device_get((totals, val_totals))
+        train_metrics = dict(zip(METRIC_KEYS, map(float, tvals / n)))
+        val_metrics = dict(zip(METRIC_KEYS,
+                               map(float, vvals / val_loader.n)))
+        return state, train_metrics, val_metrics
 
 
 _ENGINE_CACHE: Dict[Tuple, TrainEngine] = {}

@@ -128,11 +128,10 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
     val_metrics: Dict = {}
     for epoch in range(num_epochs):
         shuffle_key, sk = jax.random.split(shuffle_key)
-        state, train_metrics = engine.run_train_epoch(state, train_loader,
-                                                      lr, sk)
+        # fused train+eval: one host↔device sync per epoch
+        state, train_metrics, val_metrics = engine.run_train_and_eval_epoch(
+            state, train_loader, val_loader, lr, sk)
         train_metrics_history.append(train_metrics)
-
-        val_metrics = engine.run_eval_epoch(state, val_loader)
         val_metrics_history.append(val_metrics)
 
         if debug_nans and not (np.isfinite(train_metrics["loss"])
