@@ -25,6 +25,7 @@ round to uint8 like the reference's imwrite/imread cycle.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Callable, Dict, List, Sequence, Tuple
 
@@ -460,10 +461,21 @@ def build_pipeline(names: Sequence[str], for_selection: bool = True
     return _compose(steps)
 
 
-def _compose(steps: List[Tuple[Callable, float]]):
-    def apply(pair: Pair, key: jax.Array) -> Pair:
+class Pipeline:
+    """Composed probability-gated transform chain.
+
+    Callable as ``pipeline((img, mask), key)`` like a single transform.
+    Carries a lazily-built jitted+vmapped batch function so repeated
+    ``augment_batch`` calls (every fold × every training run) reuse one
+    compiled program instead of re-tracing a fresh closure each time."""
+
+    def __init__(self, steps: List[Tuple[Callable, float]]):
+        self.steps = steps
+        self._batch_jit = None
+
+    def __call__(self, pair: Pair, key: jax.Array) -> Pair:
         img, mask = pair
-        for i, (fn, p) in enumerate(steps):
+        for i, (fn, p) in enumerate(self.steps):
             kp, kt = jax.random.split(jax.random.fold_in(key, i))
             do = jax.random.uniform(kp) < p
             ni, nm = fn((img, mask), kt)
@@ -471,13 +483,30 @@ def _compose(steps: List[Tuple[Callable, float]]):
             mask = jnp.where(do, nm, mask)
         return img, mask
 
-    return apply
+    def batch_fn(self):
+        if self._batch_jit is None:
+            def one(img_u8, mask_u8, k):
+                img = img_u8.astype(jnp.float32)
+                mask = mask_u8.astype(jnp.float32) * 255.0  # dataset.py:180
+                ai, am = self((img, mask), k)
+                return (jnp.floor(jnp.clip(ai, 0, 255) + 0.5)
+                        .astype(jnp.uint8),
+                        (am > 127.0).astype(jnp.uint8))
+
+            self._batch_jit = jax.jit(jax.vmap(one))
+        return self._batch_jit
 
 
+def _compose(steps: List[Tuple[Callable, float]]) -> Pipeline:
+    return Pipeline(steps)
+
+
+@functools.lru_cache(maxsize=1)
 def _production_pipeline():
     """The fixed 4-transform production augmenter (dataset.py:148-154):
     RandomRotate90 p=.5, Affine(constant border) p=.3, VerticalFlip p=.5,
-    AdvancedBlur(3-7) p=.3."""
+    AdvancedBlur(3-7) p=.3. Singleton so every CellAugmenter shares one
+    compiled batch program."""
     return _compose([
         (t_random_rotate_90, 0.5),
         (partial(t_affine, border="constant"), 0.3),
@@ -494,17 +523,14 @@ def augment_batch(images_u8: jnp.ndarray, masks_u8: jnp.ndarray,
     images_u8 (N,S,S) uint8, masks_u8 (N,S,S) uint8 {0,1} →
     (copies*N, S, S) uint8 images and binary masks, fully on device."""
     n = images_u8.shape[0]
-
-    def one(img_u8, mask_u8, k):
-        img = img_u8.astype(jnp.float32)
-        mask = mask_u8.astype(jnp.float32) * 255.0  # {0,255} like dataset.py:180
-        ai, am = pipeline((img, mask), k)
-        return (jnp.floor(jnp.clip(ai, 0, 255) + 0.5).astype(jnp.uint8),
-                (am > 127.0).astype(jnp.uint8))
+    if isinstance(pipeline, Pipeline):
+        fn = pipeline.batch_fn()
+    else:  # bare callable: wrap (no cross-call jit reuse)
+        fn = Pipeline([]).batch_fn() if pipeline is None else \
+            _compose([(lambda pair, k, _p=pipeline: _p(pair, k), 1.0)]).batch_fn()
 
     keys = jax.random.split(key, copies * n).reshape(copies, n)
     outs_i, outs_m = [], []
-    fn = jax.jit(jax.vmap(one))
     for c in range(copies):
         ai, am = fn(images_u8, masks_u8, keys[c])
         outs_i.append(ai)
