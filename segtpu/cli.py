@@ -57,6 +57,9 @@ def main(argv=None):
     elif args.experiment == "model_configuration":
         from segtpu.experiments.model_configuration import main as mc_main
         mc_main(data_dir=args.data_dir, image_type=args.image_type,
+                configuration_options=(
+                    {"backbone": ["resnet34"], "use_attention": [True, False],
+                     "batch_size": [4]} if args.quick else None),
                 base_overrides=quick_overrides or None,
                 save_root=args.save_root)
     else:  # pragma: no cover

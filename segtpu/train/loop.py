@@ -26,7 +26,6 @@ import numpy as np
 from segtpu.data.augment import CellAugmenter
 from segtpu.data.loader import DeviceDataLoader
 from segtpu.data.preprocess import load_canonical, normalize_canonical
-from segtpu.losses import get_loss_function
 from segtpu.train.engine import TrainEngine, TrainState, get_engine
 from segtpu.train.optim import EarlyStopping, ReduceLROnPlateau
 
@@ -219,7 +218,6 @@ def quick_train(model=None, train_images=(), train_masks=(), val_images=(),
     loss from config, Adam(lr=1e-3, wd=1e-5), plateau scheduler
     (max, ×0.5, patience=scheduler_patience|3, threshold .01, min_lr 1e-6)."""
     config = dict(config or {})
-    criterion = get_loss_function(config)
     lr = config.get("learning_rate", 1e-3)
     scheduler = ReduceLROnPlateau(
         initial_lr=lr, mode="max", factor=0.5,
