@@ -17,7 +17,7 @@ images).
 from __future__ import annotations
 
 from functools import lru_cache, partial
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +46,8 @@ def _tile_origins(size: int, tile: int, stride: int) -> np.ndarray:
 
 
 def make_tiled_predictor(apply_fn: Callable, tile: int = 512,
-                         overlap: int = 64, batch_tiles: int = 8):
+                         overlap: int = 64, batch_tiles: int = 8,
+                         shard_tiles_axis: Optional[str] = None):
     """Build a jitted tiled predictor.
 
     ``apply_fn(x: (B, tile, tile, C_in)) -> (B, tile, tile, C_out)`` —
@@ -55,7 +56,12 @@ def make_tiled_predictor(apply_fn: Callable, tile: int = 512,
     Returns ``predict(image: (H, W, C_in)) -> (H, W, C_out)`` logits.
     One compiled program per (H, W) shape; the scan over tile batches keeps
     peak HBM at O(batch_tiles · tile²) regardless of image size.
-    """
+
+    ``shard_tiles_axis``: name of a mesh axis to shard each tile batch
+    over — the "context parallelism" of images: with ``batch_tiles`` a
+    multiple of the axis size and the predictor jitted under a Mesh, every
+    chip runs the model on its slice of the tiles and GSPMD gathers the
+    logits (call under ``with mesh:``)."""
     stride = tile - overlap
 
     def predict(image: jnp.ndarray) -> jnp.ndarray:
@@ -95,7 +101,15 @@ def make_tiled_predictor(apply_fn: Callable, tile: int = 512,
                                              (tile, tile, cin))
 
             tiles = jax.vmap(get_tile)(orgs)
+            if shard_tiles_axis is not None:
+                from jax.sharding import PartitionSpec as P
+                tiles = jax.lax.with_sharding_constraint(
+                    tiles, P(shard_tiles_axis, None, None, None))
             logits = apply_fn(tiles)
+            if shard_tiles_axis is not None:
+                from jax.sharding import PartitionSpec as P
+                logits = jax.lax.with_sharding_constraint(
+                    logits, P(shard_tiles_axis, None, None, None))
 
             def put(carry, args):
                 acc, wacc = carry
