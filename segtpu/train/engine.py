@@ -100,25 +100,66 @@ class TrainEngine:
         metrics["loss"] = loss
         return metrics
 
-    def _train_epoch_impl(self, state: TrainState, images, masks):
-        """images/masks: (n_batches, B, S, S, 1) — scan the whole epoch."""
+    def _train_epoch_impl(self, state: TrainState, images, masks, valid):
+        """images/masks: (n_batches, B, S, S, 1), valid: (n_batches,) bool —
+        scan the whole epoch. Invalid (bucketing-pad) batches are skipped
+        via lax.cond (no compute, no state change, zero metrics)."""
 
         def body(st, batch):
-            st, m = self._train_step_impl(st, batch[0], batch[1])
-            return st, jnp.stack([m[k] for k in METRIC_KEYS])
+            imgs, msks, ok = batch
 
-        state, ms = jax.lax.scan(body, state, (images, masks))
+            def do(st):
+                st, m = self._train_step_impl(st, imgs, msks)
+                return st, jnp.stack([m[k] for k in METRIC_KEYS])
+
+            def skip(st):
+                return st, jnp.zeros((len(METRIC_KEYS),))
+
+            return jax.lax.cond(ok, do, skip, st)
+
+        state, ms = jax.lax.scan(body, state, (images, masks, valid))
         return state, ms  # (n_batches, len(METRIC_KEYS))
 
-    def _eval_epoch_impl(self, state: TrainState, images, masks):
+    def _eval_epoch_impl(self, state: TrainState, images, masks, valid):
         def body(_, batch):
-            m = self._eval_step_impl(state, batch[0], batch[1])
-            return None, jnp.stack([m[k] for k in METRIC_KEYS])
+            imgs, msks, ok = batch
 
-        _, ms = jax.lax.scan(body, None, (images, masks))
+            def do(_):
+                m = self._eval_step_impl(state, imgs, msks)
+                return jnp.stack([m[k] for k in METRIC_KEYS])
+
+            return None, jax.lax.cond(
+                ok, do, lambda _: jnp.zeros((len(METRIC_KEYS),)), None)
+
+        _, ms = jax.lax.scan(body, None, (images, masks, valid))
         return ms
 
     # ------------------------------------------------------------ epochs
+
+    @staticmethod
+    def _bucket(nb: int) -> int:
+        """Round a scan length up to a coarse bucket so nearby dataset
+        sizes (CV folds, augmentation amounts) share ONE compiled epoch
+        program — scan length is a static shape, and each distinct length
+        would otherwise recompile (minutes via remote compile)."""
+        if nb <= 8:
+            return nb
+        g = 1 << max(3, nb.bit_length() - 3)
+        return -(-nb // g) * g
+
+    @classmethod
+    def _pad_batches(cls, fi, fm):
+        nb = fi.shape[0]
+        target = cls._bucket(nb)
+        import numpy as np
+        valid = jnp.asarray(np.arange(target) < nb)
+        if target > nb:
+            pad = target - nb
+            fi = jnp.concatenate(
+                [fi, jnp.zeros((pad, *fi.shape[1:]), fi.dtype)])
+            fm = jnp.concatenate(
+                [fm, jnp.zeros((pad, *fm.shape[1:]), fm.dtype)])
+        return fi, fm, valid
 
     def run_train_epoch(self, state: TrainState, loader, lr: float,
                         key: Optional[jax.Array] = None
@@ -132,7 +173,8 @@ class TrainEngine:
         b = loader.batch_size
         totals = jnp.zeros(len(METRIC_KEYS))
         if fi.shape[0] > 0:
-            state, ms = self._train_epoch(state, fi, fm)
+            fi, fm, valid = self._pad_batches(fi, fm)
+            state, ms = self._train_epoch(state, fi, fm, valid)
             totals = totals + jnp.sum(ms, axis=0) * b
         if rem is not None:
             state, m = self._train_step(state, rem[0], rem[1])
@@ -147,7 +189,8 @@ class TrainEngine:
         b = loader.batch_size
         totals = jnp.zeros(len(METRIC_KEYS))
         if fi.shape[0] > 0:
-            ms = self._eval_epoch(state, fi, fm)
+            fi, fm, valid = self._pad_batches(fi, fm)
+            ms = self._eval_epoch(state, fi, fm, valid)
             totals = totals + jnp.sum(ms, axis=0) * b
         if rem is not None:
             m = self._eval_step(state, rem[0], rem[1])
@@ -174,7 +217,8 @@ class TrainEngine:
         b = train_loader.batch_size
         totals = jnp.zeros(len(METRIC_KEYS))
         if fi.shape[0] > 0:
-            state, ms = self._train_epoch(state, fi, fm)
+            fi, fm, valid = self._pad_batches(fi, fm)
+            state, ms = self._train_epoch(state, fi, fm, valid)
             totals = totals + jnp.sum(ms, axis=0) * b
         if rem is not None:
             state, m = self._train_step(state, rem[0], rem[1])
