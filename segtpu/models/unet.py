@@ -84,6 +84,12 @@ class UNetWithBackbone(nn.Module):
     backbone: str = "resnet34"
     use_attention: bool = True
     dtype: jnp.dtype = jnp.float32
+    # Optional foreground prior p for the final conv bias
+    # (bias = log(p/(1-p))). Fixes the all-background cold start of plain
+    # BCE on imbalanced masks when training from scratch (the reference
+    # avoids it via pretrained encoders, which need a local checkpoint
+    # here). None = torch-default init (reference parity).
+    final_bias_prior: Optional[float] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -119,8 +125,14 @@ class UNetWithBackbone(nn.Module):
         d0 = nn.ConvTranspose(16, (2, 2), strides=(2, 2), padding="VALID",
                               dtype=self.dtype, name="upconv0")(d)
         d0 = _center_crop_to(d0, x.shape[1], x.shape[2])
+        if self.final_bias_prior is not None:
+            import math
+            p = float(self.final_bias_prior)
+            bias_init = nn.initializers.constant(math.log(p / (1.0 - p)))
+        else:
+            bias_init = nn.initializers.zeros_init()
         out = nn.Conv(self.n_classes, (1, 1), dtype=self.dtype,
-                      name="conv_final")(d0)
+                      bias_init=bias_init, name="conv_final")(d0)
 
         if return_features:
             # Fuse x2 (bilinear-upsampled to x3's size) with x3

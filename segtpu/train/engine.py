@@ -254,17 +254,19 @@ def get_engine(config: Dict, criterion: Optional[Callable] = None
     model_key = (config.get("backbone", "resnet34"),
                  bool(config.get("use_attention", True)),
                  int(config.get("n_classes", 1)),
-                 str(config.get("dtype", "float32")))
-    if criterion is not None:
-        model = UNetWithBackbone(
+                 str(config.get("dtype", "float32")),
+                 config.get("final_bias_prior"))
+
+    def build_model():
+        return UNetWithBackbone(
             n_classes=model_key[2], backbone=model_key[0],
-            use_attention=model_key[1],
-            dtype=jnp.dtype(model_key[3]))
-        return TrainEngine(model, criterion)
+            use_attention=model_key[1], dtype=jnp.dtype(model_key[3]),
+            final_bias_prior=model_key[4])
+
+    if criterion is not None:
+        return TrainEngine(build_model(), criterion)
     key = model_key + _loss_cache_key(config)
     if key not in _ENGINE_CACHE:
-        model = UNetWithBackbone(
-            n_classes=model_key[2], backbone=model_key[0],
-            use_attention=model_key[1], dtype=jnp.dtype(model_key[3]))
-        _ENGINE_CACHE[key] = TrainEngine(model, get_loss_function(config))
+        _ENGINE_CACHE[key] = TrainEngine(build_model(),
+                                         get_loss_function(config))
     return _ENGINE_CACHE[key]
