@@ -44,9 +44,18 @@ class TrainEngine:
     """Holds the jitted epoch/step programs for one (model, loss) pair."""
 
     def __init__(self, model: UNetWithBackbone, loss_fn: Callable,
-                 weight_decay_default: float = 0.0):
+                 weight_decay_default: float = 0.0,
+                 multiclass: bool = False):
         self.model = model
         self.loss_fn = loss_fn
+        self.multiclass = multiclass
+        if multiclass:
+            from segtpu.losses.multiclass import calculate_metrics_multiclass
+            self._act = lambda lg: jax.nn.softmax(lg, axis=-1)
+            self._metrics = calculate_metrics_multiclass
+        else:
+            self._act = jax.nn.sigmoid
+            self._metrics = calculate_metrics
         self.tx = torch_adam(learning_rate=1e-3,
                              weight_decay=weight_decay_default)
 
@@ -87,7 +96,7 @@ class TrainEngine:
             loss_f, has_aux=True)(state.params)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        metrics = calculate_metrics(jax.nn.sigmoid(logits), masks)
+        metrics = self._metrics(self._act(logits), masks)
         metrics["loss"] = loss
         return TrainState(new_params, new_bs, new_opt), metrics
 
@@ -96,7 +105,7 @@ class TrainEngine:
             {"params": state.params, "batch_stats": state.batch_stats},
             images, train=False)
         loss = self.loss_fn(logits, masks)
-        metrics = calculate_metrics(jax.nn.sigmoid(logits), masks)
+        metrics = self._metrics(self._act(logits), masks)
         metrics["loss"] = loss
         return metrics
 
@@ -263,10 +272,16 @@ def get_engine(config: Dict, criterion: Optional[Callable] = None
             use_attention=model_key[1], dtype=jnp.dtype(model_key[3]),
             final_bias_prior=model_key[4])
 
+    multiclass = model_key[2] > 1
     if criterion is not None:
-        return TrainEngine(build_model(), criterion)
+        return TrainEngine(build_model(), criterion, multiclass=multiclass)
     key = model_key + _loss_cache_key(config)
     if key not in _ENGINE_CACHE:
-        _ENGINE_CACHE[key] = TrainEngine(build_model(),
-                                         get_loss_function(config))
+        if multiclass:
+            from segtpu.losses.multiclass import get_multiclass_loss
+            loss = get_multiclass_loss(config)
+        else:
+            loss = get_loss_function(config)
+        _ENGINE_CACHE[key] = TrainEngine(build_model(), loss,
+                                         multiclass=multiclass)
     return _ENGINE_CACHE[key]
