@@ -51,3 +51,12 @@ def _enable_compile_cache():
 
 
 _enable_compile_cache()
+
+
+def __getattr__(name):
+    # Lazy heavy import: `segtpu.Segmenter` without paying the full import
+    # chain at package-import time.
+    if name == "Segmenter":
+        from segtpu.api import Segmenter
+        return Segmenter
+    raise AttributeError(name)
