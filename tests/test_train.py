@@ -101,6 +101,24 @@ def test_engine_learns_tiny_problem(tiny_problem):
     assert m["iou"] > 0.5, m  # learnable blob problem
 
 
+def test_bf16_training_learns(tiny_problem):
+    """Mixed-precision path: bf16 compute / f32 params+optimizer."""
+    imgs, masks = tiny_problem
+    engine = get_engine({"backbone": "resnet34", "use_attention": False,
+                         "loss_fn": "combo", "dtype": "bfloat16"})
+    state = engine.init_state(jax.random.key(0), (1, 32, 32, 1), 1e-3, 1e-5)
+    # params stay f32
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree.leaves(state.params))
+    loader = DeviceDataLoader.from_arrays(imgs[:8], masks[:8], batch_size=4,
+                                          shuffle=False)
+    state, m0 = engine.run_train_epoch(state, loader, 1e-3, jax.random.key(1))
+    for i in range(4):
+        state, m = engine.run_train_epoch(state, loader, 1e-3,
+                                          jax.random.key(2 + i))
+    assert m["loss"] < m0["loss"]
+
+
 def test_eval_deterministic(tiny_problem):
     imgs, masks = tiny_problem
     engine = get_engine({"backbone": "resnet34", "use_attention": False,
