@@ -42,6 +42,23 @@ def test_upsample_concat_matches_xla(rng, interp):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
+def test_conv_pair_matches_xla(rng, interp):
+    """Fused decoder block (double conv in VMEM) vs XLA, incl. border
+    zero-masking of the intermediate."""
+    from segtpu.kernels.fused_block import (
+        conv_pair_bn_relu_pallas, conv_pair_bn_relu_xla)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 8)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(3, 3, 8, 16)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.normal(size=(3, 3, 16, 16)).astype(np.float32) * 0.1)
+    s1 = jnp.asarray(rng.uniform(0.5, 1.5, 16).astype(np.float32))
+    b1 = jnp.asarray(rng.normal(size=16).astype(np.float32))
+    s2 = jnp.asarray(rng.uniform(0.5, 1.5, 16).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(size=16).astype(np.float32))
+    ref = conv_pair_bn_relu_xla(x, w1, s1, b1, w2, s2, b2)
+    got = conv_pair_bn_relu_pallas(x, w1, s1, b1, w2, s2, b2, tile=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
 def test_fold_bn_equivalence(rng):
     """conv → BN(inference) == conv with folded weights."""
     x = jnp.asarray(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))
