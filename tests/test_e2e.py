@@ -135,6 +135,20 @@ def test_forward_selection_smoke(data_dir, monkeypatch):
     assert 0.0 <= results["baseline_score"] <= 1.0
 
 
+def test_quick_cv_and_comparison_conveniences(data_dir):
+    """quick_cv / quick_model_comparison (cross_validation.py:427-448)."""
+    from segtpu.eval import quick_cv, quick_model_comparison
+    cfg = dict(QUICK_CONFIG, num_epochs=1, name="q")
+    res = quick_cv(config=cfg, data_dir=data_dir, image_type="W",
+                   n_splits=2, augmentations_per_image=0)
+    assert "cv_summary" in res
+
+    both = quick_model_comparison(
+        [(None, dict(cfg, name="m1"))], data_dir=data_dir, image_type="W",
+        n_splits=2, augmentations_per_image=0, include_generalization=True)
+    assert "cv_results" in both and "generalization_results" in both
+
+
 def test_cli_dispatch(monkeypatch):
     import segtpu.cli as cli
     calls = []
