@@ -101,6 +101,17 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
 
     state = engine.init_state(jax.random.key(seed), (1, *img_size, 1), lr, wd)
 
+    # Whole-run fusion fast path (segtpu/train/fused_run.py): the entire
+    # epoch loop — shuffling, plateau LR, early stopping, best weights —
+    # compiles into ONE device program. Opt-in via config fused_run=True;
+    # requires the standard (None or max-mode plateau) scheduler.
+    if config.get("fused_run") and (
+            scheduler is None or (isinstance(scheduler, ReduceLROnPlateau)
+                                  and scheduler.mode == "max")):
+        return _train_model_fused(engine, state, tr_imgs, tr_masks, va_imgs,
+                                  va_masks, batch_size, num_epochs, lr,
+                                  scheduler, config, augmenter, verbose)
+
     train_metrics_history: List[Dict] = []
     val_metrics_history: List[Dict] = []
     lr_history: List[float] = []
@@ -195,6 +206,85 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
         "training_time": time_elapsed,
         "final_train_metrics": train_metrics,
         "final_val_metrics": val_metrics,
+    }
+
+
+def _train_model_fused(engine, state, tr_imgs, tr_masks, va_imgs, va_masks,
+                       batch_size, num_epochs, lr, scheduler, config,
+                       augmenter, verbose):
+    """train_model tail using the single-program fused run."""
+    from segtpu.train.fused_run import run_training_fused
+
+    seed = int(config.get("seed", 0))
+    # replicate the stepwise loop's shuffle-key chain exactly
+    keys = []
+    k = jax.random.key(seed + 1)
+    for _ in range(num_epochs):
+        k, sk = jax.random.split(k)
+        keys.append(sk)
+
+    sched_params = None
+    if scheduler is not None:
+        sched_params = dict(factor=scheduler.factor,
+                            patience=scheduler.patience,
+                            threshold=scheduler.threshold,
+                            min_lr=scheduler.min_lr)
+
+    if verbose:
+        print("Starting training (fused run)...")
+    start_time = time.time()
+    out = run_training_fused(
+        engine, state, tr_imgs, tr_masks, va_imgs, va_masks,
+        batch_size=batch_size, num_epochs=num_epochs, lr0=lr,
+        epoch_keys=keys, scheduler_params=sched_params,
+        es_patience=config.get("early_stopping_patience", 7),
+        es_min_delta=config.get("early_stopping_min_delta", 0.001))
+    time_elapsed = time.time() - start_time
+
+    if verbose:
+        for e, (tm, vm, l) in enumerate(zip(out["train_history"],
+                                            out["val_history"],
+                                            out["lr_history"])):
+            print(f"Epoch {e+1:3d}/{num_epochs} - "
+                  f"Train Loss: {tm['loss']:.4f}, Train IoU: {tm['iou']:.4f}, "
+                  f"Val Loss: {vm['loss']:.4f}, Val IoU: {vm['iou']:.4f}, "
+                  f"LR: {l:.6f}")
+        print(f"Training complete in {time_elapsed // 60:.0f}m "
+              f"{time_elapsed % 60:.0f}s")
+        print(f"Best validation IoU: {out['best_iou']:.4f} at epoch "
+              f"{out['best_epoch']+1}")
+
+    if config.get("metrics_log"):
+        from segtpu.core.logging import MetricsLogger
+        with MetricsLogger(config["metrics_log"]) as logger:
+            for e, (tm, vm, l) in enumerate(zip(out["train_history"],
+                                                out["val_history"],
+                                                out["lr_history"])):
+                logger.log({"epoch": e, "lr": l,
+                            **{f"train_{k}": v for k, v in tm.items()},
+                            **{f"val_{k}": v for k, v in vm.items()}},
+                           kind="epoch")
+
+    if config.get("save_plots", False):
+        plot_training_history(out["train_history"], out["val_history"],
+                              out["lr_history"], config)
+    augmenter.cleanup()
+
+    best_state = (out["state"].params, out["state"].batch_stats) \
+        if out["best_found"] else None
+    return {
+        "train_metrics": out["train_history"],
+        "val_metrics": out["val_history"],
+        "lr_history": out["lr_history"],
+        "best_iou": out["best_iou"],
+        "best_epoch": out["best_epoch"],
+        "best_model_state": best_state,
+        "state": out["state"],
+        "training_time": time_elapsed,
+        "final_train_metrics": out["train_history"][-1]
+        if out["train_history"] else {},
+        "final_val_metrics": out["val_history"][-1]
+        if out["val_history"] else {},
     }
 
 

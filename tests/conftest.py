@@ -19,7 +19,11 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: XLA compiles of the U-Net graphs are
 # expensive on this box's single CPU core; cache them across test runs.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/segtpu_jax_cache")
+# NOTE: separate cache dir from the TPU runs — the axon remote-compile
+# server writes CPU AOT entries with ISA features this host lacks (SIGILL
+# risk when loaded here).
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/.cache/segtpu_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
