@@ -38,11 +38,16 @@ class CrossValidator:
 
     def __init__(self, data_dir: str = "manual_labels", image_type: str = "W",
                  n_splits: int = 5, random_state: int = 42,
-                 augmentations_per_image: int = 3, verbose: bool = True):
+                 augmentations_per_image: int = 3, verbose: bool = True,
+                 resume_dir: Optional[str] = None):
         self.n_splits = n_splits
         self.random_state = random_state
         self.augmentations_per_image = augmentations_per_image
         self.verbose = verbose
+        # Failure recovery (SURVEY.md §5): when set, every completed fold's
+        # metrics are persisted as JSON and a restarted run skips straight
+        # past them (folds are deterministic given the same seed).
+        self.resume_dir = resume_dir
 
         self.data = load_original_data(data_dir, image_type)
         self.image_paths = self.data["image_paths"]
@@ -109,10 +114,34 @@ class CrossValidator:
             save_plots=False)
         return results["final_val_metrics"]
 
+    def _fold_ckpt_path(self, config: Dict, fold_idx: int) -> Optional[str]:
+        if not self.resume_dir:
+            return None
+        import os
+        import re
+        name = re.sub(r"[^A-Za-z0-9_.-]", "_",
+                      str(config.get("name", "model")))
+        os.makedirs(self.resume_dir, exist_ok=True)
+        return os.path.join(self.resume_dir, f"{name}_fold{fold_idx}.json")
+
     def _run_folds(self, model_class, config: Dict, cv_folds) -> Tuple[List, Dict]:
+        import json
+        import os
         fold_results = []
         all_metrics = defaultdict(list)
         for fold_idx, (tr, va) in enumerate(cv_folds):
+            ckpt = self._fold_ckpt_path(config, fold_idx)
+            if ckpt and os.path.exists(ckpt):
+                with open(ckpt) as f:
+                    val_metrics = json.load(f)
+                if self.verbose:
+                    print(f"  Fold {fold_idx + 1}/{self.n_splits}: resumed "
+                          f"(IoU: {val_metrics['iou']:.4f})")
+                fold_results.append(val_metrics)
+                for metric, value in val_metrics.items():
+                    if metric != "training_time":
+                        all_metrics[metric].append(value)
+                continue
             if self.verbose:
                 print(f"  Fold {fold_idx + 1}/{self.n_splits}:", end=" ")
             t0 = time.time()
@@ -121,6 +150,10 @@ class CrossValidator:
             elapsed = time.time() - t0
             val_metrics["training_time"] = elapsed
             fold_results.append(val_metrics)
+            if ckpt:
+                with open(ckpt, "w") as f:
+                    json.dump({k: float(v) for k, v in val_metrics.items()},
+                              f)
             for metric, value in val_metrics.items():
                 if metric != "training_time":
                     all_metrics[metric].append(value)
