@@ -20,9 +20,9 @@ import sys
 import time
 
 SIZE = 512
-BATCH = 32  # measured best throughput point on v5e (679 img/s vs 592 @ bs8)
+BATCH = 128  # measured best throughput point on v5e (1883 img/s; see PERF.md)
 WARMUP = 3
-ITERS = 10
+ITERS = 6
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BASELINE_LOCAL.json")
 
@@ -66,10 +66,13 @@ def measure_tpu_throughput() -> float:
 
     run(WARMUP)  # compile + warm
     n1, n2 = ITERS, ITERS * 3
-    t1 = min(run(n1), run(n1))
-    t2 = min(run(n2), run(n2))
-    t_batch = max((t2 - t1) / (n2 - n1), 1e-9)
-    return BATCH / t_batch
+    best = None
+    for _ in range(3):
+        t1 = min(run(n1), run(n1))
+        t2 = min(run(n2), run(n2))
+        t_batch = max((t2 - t1) / (n2 - n1), 1e-9)
+        best = t_batch if best is None else min(best, t_batch)
+    return BATCH / best
 
 
 def get_cpu_baseline() -> float:
