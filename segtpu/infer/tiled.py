@@ -145,6 +145,24 @@ def make_tiled_predictor(apply_fn: Callable, tile: int = 512,
     return jax.jit(predict)
 
 
+def make_tiled_predictor_many(apply_fn: Callable, tile: int = 512,
+                              overlap: int = 64, batch_tiles: int = 32):
+    """Stream-batched tiled inference: (B, H, W, C) → (B, H, W, C_out).
+
+    Tiles are batched ACROSS images so the accelerator sees large batches
+    even when each image contributes few tiles — on dispatch-latency-heavy
+    rigs this recovers the direct-inference throughput for image streams
+    (single-image tiled 2048² is dispatch-dominated; see PERF.md)."""
+    single = make_tiled_predictor(apply_fn, tile=tile, overlap=overlap,
+                                  batch_tiles=batch_tiles)
+
+    @jax.jit
+    def predict_many(images: jnp.ndarray) -> jnp.ndarray:
+        return jax.vmap(single)(images)
+
+    return predict_many
+
+
 def tiled_predict(model, state, image, tile: int = 512, overlap: int = 64,
                   batch_tiles: int = 8) -> np.ndarray:
     """One-call tiled inference on a single large image (H, W) or (H, W, 1).

@@ -55,6 +55,21 @@ def test_tiled_multichannel_output():
     np.testing.assert_allclose(out[..., 2], 3.0, atol=1e-5)
 
 
+def test_tiled_predict_many_matches_single(rng):
+    """Stream-batched tiled inference == per-image tiled inference."""
+    from segtpu.infer.tiled import make_tiled_predictor_many
+    imgs = jnp.asarray(rng.normal(size=(3, 96, 96, 1)).astype(np.float32))
+
+    def f(x):
+        return jnp.tanh(x * 1.3 + 0.2)
+
+    single = make_tiled_predictor(f, tile=32, overlap=8, batch_tiles=4)
+    many = make_tiled_predictor_many(f, tile=32, overlap=8, batch_tiles=4)
+    ref = np.stack([np.asarray(single(im)) for im in imgs])
+    got = np.asarray(many(imgs))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
 def test_tiled_with_real_model():
     from segtpu.models import UNetWithBackbone, create_model_state
     from segtpu.infer.tiled import tiled_predict
