@@ -28,6 +28,30 @@ def data_dir(tmp_path_factory):
     return make_synthetic_dataset(str(root), n_images=8, image_type="W")
 
 
+def test_loss_configurations_match_reference():
+    """The 10 loss configs pin to loss_function_cross_validation.py:37-57
+    (names, keys, hyperparameters)."""
+    from segtpu.experiments.loss_comparison import get_loss_configurations
+    configs = get_loss_configurations()
+    by_name = {c["name"]: c for c in configs}
+    assert list(by_name) == [
+        "BCE Loss", "Weighted BCE", "Balanced BCE", "Focal Loss",
+        "Dice Loss", "Tversky Loss", "Focal Tversky",
+        "Sensitivity-Specificity", "Log-Cosh Dice", "Combo Loss"]
+    assert by_name["Weighted BCE"]["beta"] == 2.0
+    assert by_name["Focal Loss"]["focal_alpha"] == 0.25
+    assert by_name["Focal Loss"]["focal_gamma"] == 2.0
+    assert by_name["Focal Tversky"]["focal_tversky_gamma"] == 0.75
+    assert by_name["Combo Loss"]["loss_alpha"] == 0.5
+    for c in configs:  # shared base (reference base_config :20-33)
+        assert c["backbone"] == "resnet34"
+        assert c["use_attention"] is False
+        assert c["batch_size"] == 4
+        assert tuple(c["img_size"]) == (128, 128)
+        assert c["learning_rate"] == 1e-3
+        assert c["early_stopping_patience"] == 5
+
+
 def test_loss_comparison_driver(data_dir, tmp_path):
     from segtpu.experiments.loss_comparison import main
     out = main(data_dir=data_dir, image_type="W", n_splits=2, test_size=0.25,
