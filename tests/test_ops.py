@@ -34,6 +34,19 @@ def test_resize_nearest_matches_cv2(rng, shape, out):
     assert np.array_equal(ref, ours)
 
 
+def test_resize_bilinear_matches_torch_interpolate(rng):
+    """Exact parity with F.interpolate(mode='bilinear',
+    align_corners=False) — the reference's feature-fusion resize
+    (advanced_models.py:354)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as TF
+    img = rng.normal(size=(24, 40)).astype(np.float32)
+    ref = TF.interpolate(torch.from_numpy(img)[None, None], size=(37, 64),
+                         mode="bilinear", align_corners=False)[0, 0].numpy()
+    ours = np.array(resize_bilinear(jnp.asarray(img), (37, 64)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
 def test_resize_bilinear_half_pixel(rng):
     # torch align_corners=False convention: compare to cv2 INTER_LINEAR
     img = rng.integers(0, 256, (64, 64), dtype=np.uint8)
