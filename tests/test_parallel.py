@@ -88,6 +88,22 @@ def test_graft_dryrun_multichip():
     g.dryrun_multichip(8)
 
 
+def test_multihost_input_sharding_single_process():
+    """global_batch_from_local on one process == sharded device_put; the
+    training step consumes it identically (multi-host pods use the same
+    call with per-process slices)."""
+    from segtpu.parallel import global_batch_from_local, process_local_slice
+    mesh = create_mesh(axis_names=("data",))
+    rng = np.random.default_rng(0)
+    local = rng.random((16, 8, 8, 1)).astype(np.float32)
+    arr = global_batch_from_local(local, mesh)
+    assert arr.shape == (16, 8, 8, 1)
+    assert arr.sharding.spec == P("data", None, None, None)
+    np.testing.assert_allclose(np.asarray(arr), local)
+    sl = process_local_slice(100)
+    assert sl == slice(0, 100)  # single process owns everything
+
+
 def test_tiled_inference_sharded_over_mesh():
     """Tile batches sharded across the 8-device mesh must produce the same
     logits as unsharded tiled inference."""
