@@ -110,11 +110,13 @@ def _convert_resnet_encoder(b: _TreeBuilder, sd: Dict, backbone: str,
 
 
 def _convert_densenet_encoder(b: _TreeBuilder, sd: Dict,
-                              grayscale: bool) -> None:
+                              grayscale: bool,
+                              include_stem: bool = True) -> None:
     enc = ("encoder",)
-    first = conv_kernel(grayscale_sum(sd["features.conv0.weight"])) \
-        if grayscale else conv_kernel(sd["features.conv0.weight"])
-    b._set(b.params, enc + ("input_conv", "kernel"), first)
+    if include_stem:
+        first = conv_kernel(grayscale_sum(sd["features.conv0.weight"])) \
+            if grayscale else conv_kernel(sd["features.conv0.weight"])
+        b._set(b.params, enc + ("input_conv", "kernel"), first)
     b.bn(enc + ("norm0",), sd, "features.norm0")
     for bi, n_layers in enumerate((6, 12, 24, 16)):
         blk = enc + (f"denseblock{bi+1}",)
@@ -176,12 +178,15 @@ def load_reference_checkpoint(sd: Dict, backbone: str = "resnet34",
                            bias=False)
                     b.bn(fp + ("down_bn",), sd, f"{tk}.downsample.1")
     elif backbone == "densenet121":
+        # The trained grayscale stem lives in 'input_conv.weight'
+        # (advanced_models.py:136-139); the state_dict ALSO carries the
+        # unused 3-channel 'features.conv0.weight', which must not
+        # overwrite it (include_stem=False skips it).
         b._set(b.params, ("encoder", "input_conv", "kernel"),
                conv_kernel(sd["input_conv.weight"]))
-        _convert_densenet_encoder(b, {**sd}, grayscale=False) \
-            if "features.conv0.weight" in sd else None
-        # reference densenet keeps torchvision 'features.*' names; the
-        # encoder body was converted above when present.
+        if "features.norm0.weight" in sd:
+            _convert_densenet_encoder(b, sd, grayscale=False,
+                                      include_stem=False)
 
     # decoder
     for lvl in (4, 3, 2, 1):
