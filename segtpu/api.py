@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from segtpu.data.loader import DeviceDataLoader
-from segtpu.data.preprocess import load_canonical, normalize_canonical
+from segtpu.data.preprocess import load_canonical_images, normalize_canonical
 from segtpu.train.engine import TrainState, get_engine
 from segtpu.train.loop import quick_train, _materialize, _to_canonical
 
@@ -83,7 +83,7 @@ class Segmenter:
         (N, S, S, 1) float32 model inputs."""
         img_size = tuple(self.config["img_size"])
         if len(images) > 0 and isinstance(images[0], str):
-            ci, _ = load_canonical(list(images), list(images), img_size)
+            ci = load_canonical_images(list(images), img_size)
             return normalize_canonical(jnp.asarray(ci))
         arr = np.asarray(images)
         if arr.dtype == np.uint8:

@@ -2,6 +2,7 @@ from segtpu.data.discovery import load_original_data
 from segtpu.data.io import decode_gray, write_tiff, make_synthetic_dataset
 from segtpu.data.preprocess import (
     load_canonical,
+    load_canonical_images,
     normalize_canonical,
     normalize_microscopy_image,
 )

@@ -41,7 +41,15 @@ def decode_gray(path: str) -> np.ndarray:
         pass
     from PIL import Image
     with Image.open(path) as im:
-        if im.mode in ("I;16", "I;16B", "I"):
+        if im.mode in ("I;16", "I;16B"):
+            # cv2.IMREAD_GRAYSCALE (dataset.py:46) always maps 16-bit to
+            # 8-bit by /256, regardless of the data's actual range — a dim
+            # 16-bit image must stay dim, so scale unconditionally.
+            arr = np.asarray(im, dtype=np.float32)
+            arr = np.clip(arr / 256.0, 0, 255).astype(np.uint8)
+        elif im.mode == "I":
+            # 32-bit container: scale by the observed bit depth (16-bit
+            # data stored as mode "I" is common for TIFF).
             arr = np.asarray(im, dtype=np.float32)
             arr = np.clip(arr / 256.0 if arr.max() > 255 else arr, 0, 255)
             arr = arr.astype(np.uint8)

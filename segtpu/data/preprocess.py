@@ -61,6 +61,27 @@ def _resize_img_fn(raw_hw: Tuple[int, int], out_hw: Tuple[int, int]):
     return f
 
 
+def load_canonical_images(image_paths: Sequence[str],
+                          img_size: Tuple[int, int] = (256, 256)
+                          ) -> np.ndarray:
+    """Images-only decode + device-resize (no masks): (N,S,S) uint8.
+
+    The inference path (``Segmenter.predict``) has no masks; this avoids
+    the pair loader's double decode + pointless nearest mask resize."""
+    n = len(image_paths)
+    imgs_out = np.zeros((n, *img_size), np.uint8)
+    groups = {}
+    for i, ip in enumerate(image_paths):
+        img = decode_gray(ip)
+        groups.setdefault(img.shape, []).append((i, img))
+    for shape, items in groups.items():
+        idx = np.array([i for i, _ in items])
+        raw = np.stack([im for _, im in items])
+        f = _resize_img_fn(shape, tuple(img_size))
+        imgs_out[idx] = np.asarray(jax.device_get(f(jnp.asarray(raw))))
+    return imgs_out
+
+
 def load_canonical(image_paths: Sequence[str], mask_paths: Sequence[str],
                    img_size: Tuple[int, int] = (256, 256)
                    ) -> Tuple[np.ndarray, np.ndarray]:

@@ -85,16 +85,21 @@ class CrossValidator:
     # ------------------------------------------------------------ training
 
     def train_single_model(self, model_class, config: Dict,
-                           train_idx: Sequence[int], val_idx: Sequence[int]
-                           ) -> Dict:
+                           train_idx: Sequence[int], val_idx: Sequence[int],
+                           fold_idx: int = 0) -> Dict:
         """Train a fresh model on one fold; returns final val metrics
         (cross_validation.py:77-124). ``model_class`` is accepted for API
-        parity; the model is built from config (backbone/use_attention)."""
+        parity; the model is built from config (backbone/use_attention).
+
+        ``fold_idx`` varies the init seed per fold — the reference draws a
+        fresh random torch init each fold, so fold std must include init
+        variance (one shared init would systematically understate it)."""
         img_size = tuple(config.get("img_size", (128, 128)))
         ci, cm = self._canonical(img_size)
         cv_config = dict(config)
         cv_config["verbose"] = False
         cv_config["save_plots"] = False
+        cv_config["seed"] = int(config.get("seed", 0)) + 1000 * fold_idx
 
         scheduler = ReduceLROnPlateau(
             initial_lr=config.get("learning_rate", 1e-3), mode="max",
@@ -146,7 +151,8 @@ class CrossValidator:
                 print(f"  Fold {fold_idx + 1}/{self.n_splits}:", end=" ")
             t0 = time.time()
             val_metrics = dict(self.train_single_model(model_class, config,
-                                                       tr, va))
+                                                       tr, va,
+                                                       fold_idx=fold_idx))
             elapsed = time.time() - t0
             val_metrics["training_time"] = elapsed
             fold_results.append(val_metrics)

@@ -68,8 +68,11 @@ def make_tiled_predictor(apply_fn: Callable, tile: int = 512,
         h, w, cin = image.shape
         ph, pw = max(tile, h), max(tile, w)
         if ph > h or pw > w:
+            # reflect padding requires pad width < dim; for images smaller
+            # than ~half the tile fall back to edge replication.
+            mode = "reflect" if (ph - h < h and pw - w < w) else "edge"
             image = jnp.pad(image, ((0, ph - h), (0, pw - w), (0, 0)),
-                            mode="reflect")
+                            mode=mode)
         ys = _tile_origins(ph, tile, stride)
         xs = _tile_origins(pw, tile, stride)
         origins = np.stack(np.meshgrid(ys, xs, indexing="ij"),

@@ -178,3 +178,35 @@ def test_production_pipeline_produces_diversity(rng):
     diffs = sum(not np.array_equal(copies[i], copies[j])
                 for i in range(8) for j in range(i + 1, 8))
     assert diffs > 10
+
+
+def test_16bit_dim_tiff_scales_by_bit_depth(tmp_path):
+    """A dim 16-bit TIFF must decode like cv2.IMREAD_GRAYSCALE: always
+    /256, never data-dependent (ADVICE r1; dataset.py:46 semantics)."""
+    from PIL import Image
+    from segtpu.data.io import decode_gray
+
+    # all values < 256 in 16-bit → cv2 would map them all to 0
+    dim = (np.arange(64, dtype=np.uint16).reshape(8, 8) * 3)
+    p = tmp_path / "dim16.tif"
+    Image.fromarray(dim, mode="I;16").save(p)
+    arr = decode_gray(str(p))
+    assert arr.dtype == np.uint8
+    assert arr.max() == 0  # 189/256 -> 0
+
+    bright = dim * 256
+    p2 = tmp_path / "bright16.tif"
+    Image.fromarray(bright.astype(np.uint16), mode="I;16").save(p2)
+    arr2 = decode_gray(str(p2))
+    np.testing.assert_array_equal(arr2, (bright / 256).astype(np.uint8))
+
+
+def test_load_canonical_images_matches_pair_loader(dataset_dir):
+    """Images-only loader == image half of the pair loader."""
+    from segtpu.data import load_original_data
+    from segtpu.data.preprocess import load_canonical, load_canonical_images
+
+    data = load_original_data(str(dataset_dir), image_type="W")
+    ci, _ = load_canonical(data["image_paths"], data["mask_paths"], (32, 32))
+    ci2 = load_canonical_images(data["image_paths"], (32, 32))
+    np.testing.assert_array_equal(ci, ci2)

@@ -83,3 +83,15 @@ def test_tiled_with_real_model():
     assert probs.shape == (160, 160, 1)
     assert np.isfinite(probs).all()
     assert probs.min() >= 0.0 and probs.max() <= 1.0
+
+
+def test_tiled_small_image_pads_edge():
+    """Images smaller than ~half the tile can't reflect-pad; the predictor
+    must fall back to edge padding instead of raising (ADVICE r1)."""
+    from segtpu.infer.tiled import make_tiled_predictor
+
+    pred = make_tiled_predictor(lambda x: x, tile=64, overlap=16)
+    img = jnp.arange(20 * 20, dtype=jnp.float32).reshape(20, 20, 1) / 400.0
+    out = pred(img)
+    assert out.shape == (20, 20, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
