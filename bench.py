@@ -72,7 +72,22 @@ def measure_tpu_throughput() -> float:
         t2 = min(run(n2), run(n2))
         t_batch = max((t2 - t1) / (n2 - n1), 1e-9)
         best = t_batch if best is None else min(best, t_batch)
-    return BATCH / best
+
+    # MFU: XLA's own FLOP count for the compiled program / bf16 peak
+    # (v5e nominal 197 TFLOP/s; the honest utilization metric VERDICT asked
+    # bench.py to report alongside img/s).
+    mfu = None
+    try:
+        cost = fwd.lower(params, batch_stats, x).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        peak = 197e12 if jax.default_backend() == "tpu" else None
+        if peak and flops > 0:
+            mfu = (flops / best) / peak
+    except Exception as e:
+        print(f"cost analysis unavailable: {e}", file=sys.stderr)
+    return BATCH / best, mfu
 
 
 def get_cpu_baseline() -> float:
@@ -93,20 +108,23 @@ def get_cpu_baseline() -> float:
 
 
 def main():
-    value = measure_tpu_throughput()
+    value, mfu = measure_tpu_throughput()
     try:
         baseline = get_cpu_baseline()
     except Exception as e:  # torch missing/failed — report absolute only
         print(f"baseline measurement failed: {e}", file=sys.stderr)
         baseline = None
     vs = (value / baseline) if baseline else None
-    print(json.dumps({
+    out = {
         "metric": "images/sec/chip at 512x512 segmentation inference "
                   "(resnet34+attention U-Net)",
         "value": round(value, 2),
         "unit": "images/sec",
         "vs_baseline": round(vs, 2) if vs is not None else None,
-    }))
+    }
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -48,8 +48,10 @@ def _center_crop_to(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
 
 class _DecoderBlock(nn.Module):
-    """Decoder block: concat(skip, up) → [conv3×3 → BN → ReLU] ×2
-    (advanced_models.py:197-205 semantics).
+    """Decoder block: [conv3×3 → BN → ReLU] ×2 over the concatenated
+    (skip, up) input (advanced_models.py:197-205 semantics). The concat
+    happens at the call site so the Pallas-fused upsample path can hand in
+    a pre-concatenated tensor.
 
     Perf note (measured on v5e, 512²/bs8): expressing the skip concat as
     kernel-sliced split convs does NOT help — XLA already folds the concat
@@ -59,8 +61,7 @@ class _DecoderBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, skip, up, train: bool):
-        x = jnp.concatenate([skip, up], axis=-1)
+    def __call__(self, x, train: bool):
         for i in (1, 2):
             x = nn.Conv(self.features, (3, 3), padding=1, use_bias=True,
                         dtype=self.dtype, name=f"conv{i}")(x)
@@ -68,6 +69,52 @@ class _DecoderBlock(nn.Module):
                              epsilon=1e-5, dtype=self.dtype, name=f"bn{i}")(x)
             x = nn.relu(x)
         return x
+
+
+class _UpConv2x(nn.Module):
+    """2×2-stride-2 transposed conv with an optional Pallas-fused
+    upsample+skip-concat path (segtpu.kernels.upsample2x_concat_pallas,
+    measured 0.49× XLA time at b8 128→256 decoder shapes — PERF.md).
+
+    Declares the exact params of the ``nn.ConvTranspose`` it replaces —
+    same names (kernel/bias), shapes ((2,2,Cin,Cout)/(Cout,)), initializers
+    (flax ``default_kernel_init`` / zeros) and ``param_dtype`` — so
+    checkpoints and param trees are bit-identical whether fusion is enabled
+    or not.
+
+    ``__call__(x, skip=None, fused=False)``:
+    - ``fused=False``: returns the plain upsample (flax ConvTranspose
+      semantics: lax.conv_transpose VALID stride-2 + bias).
+    - ``fused=True`` (requires ``skip``): returns
+      ``concat([skip, upsample(x)], axis=-1)`` computed in one Pallas pass —
+      the upsample never round-trips HBM as a separate tensor.
+    """
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip=None, fused: bool = False):
+        from flax.linen.linear import default_kernel_init
+        kernel = self.param("kernel", default_kernel_init,
+                            (2, 2, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype)
+        if fused:
+            assert skip is not None
+            from contextlib import nullcontext
+            from jax.experimental.pallas import tpu as pltpu
+            from segtpu.kernels.fused_conv import upsample2x_concat_pallas
+            ctx = (pltpu.force_tpu_interpret_mode()
+                   if jax.default_backend() != "tpu" else nullcontext())
+            with ctx:
+                return upsample2x_concat_pallas(
+                    x, kernel, bias.astype(jnp.float32), skip)
+        up = jax.lax.conv_transpose(
+            x, kernel, (2, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return up + bias.reshape((1,) * (up.ndim - 1) + (-1,))
 
 
 class UNetWithBackbone(nn.Module):
@@ -90,6 +137,19 @@ class UNetWithBackbone(nn.Module):
     # avoids it via pretrained encoders, which need a local checkpoint
     # here). None = torch-default init (reference parity).
     final_bias_prior: Optional[float] = None
+    # Inference-path kernel fusion: "none" (XLA everywhere, the parity
+    # reference) or "pallas" (route decoder upsample+skip-concat through
+    # upsample2x_concat_pallas at shapes where tools/kernel_bench.py
+    # measured it faster than XLA — PERF.md: 0.49× at 128→256). Fusion
+    # engages only when train=False (Pallas kernels define no VJP) and only
+    # without attention gates: the gate consumes the materialized upsample
+    # (advanced_models.py:287), so the concat-fusion win does not exist on
+    # that dataflow (XLA already folds the gated concat into the decoder
+    # conv). Param trees are identical for both settings.
+    fuse: str = "none"
+    # Minimum *input* spatial size of an upsample for the fused kernel
+    # (measured crossover: win at 128→256, parity at 64→128). Tests set 0.
+    fuse_min_h: int = 96
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -102,25 +162,35 @@ class UNetWithBackbone(nn.Module):
         skips = (x4, x3, x2, x1)
         for lvl, skip in zip((4, 3, 2, 1), skips):
             i = 4 - lvl
-            d = nn.ConvTranspose(plan["up"][i], (2, 2), strides=(2, 2),
-                                 padding="VALID", dtype=self.dtype,
-                                 name=f"upconv{lvl}")(d)
-            if lvl == 1 and (d.shape[1] != skip.shape[1]
-                             or d.shape[2] != skip.shape[2]):
-                skip = _center_crop_to(skip, d.shape[1], d.shape[2])
+            upconv = _UpConv2x(plan["up"][i], dtype=self.dtype,
+                               name=f"upconv{lvl}")
+            up_h, up_w = 2 * d.shape[1], 2 * d.shape[2]
+            if lvl == 1 and (up_h != skip.shape[1] or up_w != skip.shape[2]):
+                skip = _center_crop_to(skip, up_h, up_w)
+            fused = (self.fuse == "pallas" and not train
+                     and not self.use_attention
+                     and d.shape[1] >= self.fuse_min_h
+                     and d.shape[1] % min(32, d.shape[1]) == 0
+                     and d.shape[2] % min(32, d.shape[2]) == 0)
             if self.use_attention:
+                d = upconv(d)
                 skip_att = AttentionGate(plan["att_int"][i], dtype=self.dtype,
                                          name=f"attention{lvl}")(
                                              g=d, x=skip, train=train)
-                # virtual concat order = (skip, up), matching
+                # concat order = (skip, up), matching
                 # torch.cat((x_att, d), dim=1) at advanced_models.py:288
+                cat = jnp.concatenate([skip_att, d], axis=-1)
                 d = _DecoderBlock(plan["dec"][i], dtype=self.dtype,
-                                  name=f"decoder{lvl}")(skip_att, d, train)
+                                  name=f"decoder{lvl}")(cat, train)
                 d = ChannelAttention(dtype=self.dtype,
                                      name=f"ch_attention{lvl}")(d)
             else:
+                if fused:
+                    cat = upconv(d, skip=skip, fused=True)
+                else:
+                    cat = jnp.concatenate([skip, upconv(d)], axis=-1)
                 d = _DecoderBlock(plan["dec"][i], dtype=self.dtype,
-                                  name=f"decoder{lvl}")(skip, d, train)
+                                  name=f"decoder{lvl}")(cat, train)
 
         d0 = nn.ConvTranspose(16, (2, 2), strides=(2, 2), padding="VALID",
                               dtype=self.dtype, name="upconv0")(d)

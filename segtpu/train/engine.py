@@ -264,13 +264,14 @@ def get_engine(config: Dict, criterion: Optional[Callable] = None
                  bool(config.get("use_attention", True)),
                  int(config.get("n_classes", 1)),
                  str(config.get("dtype", "float32")),
-                 config.get("final_bias_prior"))
+                 config.get("final_bias_prior"),
+                 str(config.get("fuse", "none")))
 
     def build_model():
         return UNetWithBackbone(
             n_classes=model_key[2], backbone=model_key[0],
             use_attention=model_key[1], dtype=jnp.dtype(model_key[3]),
-            final_bias_prior=model_key[4])
+            final_bias_prior=model_key[4], fuse=model_key[5])
 
     multiclass = model_key[2] > 1
     if criterion is not None:
