@@ -61,6 +61,48 @@ def decode_gray(path: str) -> np.ndarray:
     return arr
 
 
+def decode_gray_batch(paths: List[str], n_threads: int = 4
+                      ) -> List[np.ndarray]:
+    """Batch decode with the native thread pool (native/segtpu_io.cc).
+
+    Cache-aware: already-decoded files are served from the cache; the
+    remainder go through one ``segtpu_decode_batch`` call (pthread pool —
+    overlaps file IO even on this 1-core host); unsupported variants fall
+    back to the PIL path per file. Result order matches ``paths``."""
+    keys = []
+    for p in paths:
+        try:
+            keys.append((p, os.path.getmtime(p)))
+        except OSError:
+            keys.append((p, -1.0))
+    out: List = [None] * len(paths)
+    miss_idx = []
+    for i, k in enumerate(keys):
+        hit = _DECODE_CACHE.get(k)
+        if hit is not None:
+            out[i] = hit
+        else:
+            miss_idx.append(i)
+    if miss_idx:
+        native_results = None
+        try:
+            from segtpu.data.native import native_decode_batch
+            native_results = native_decode_batch(
+                [paths[i] for i in miss_idx], n_threads=n_threads)
+        except Exception:
+            native_results = [None] * len(miss_idx)
+        for j, i in enumerate(miss_idx):
+            arr = native_results[j] if native_results else None
+            if arr is None:
+                arr = decode_gray(paths[i])  # PIL fallback (also caches)
+            else:
+                if len(_DECODE_CACHE) >= _CACHE_MAX:
+                    _DECODE_CACHE.clear()
+                _DECODE_CACHE[keys[i]] = arr
+            out[i] = arr
+    return out
+
+
 def write_tiff(path: str, arr: np.ndarray) -> bool:
     """Write a uint8 grayscale array as TIFF. Returns success."""
     try:

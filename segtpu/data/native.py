@@ -42,13 +42,22 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32]
+        lib.segtpu_probe_gray.restype = ctypes.c_int
+        lib.segtpu_probe_gray.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.segtpu_decode_batch_at.restype = None
+        lib.segtpu_decode_batch_at.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
         _LIB = lib
     except Exception:
         _LIB = None
     return _LIB
 
 
-_MAX_BYTES = 64 * 1024 * 1024  # 8k × 8k gray cap per image
 
 
 def native_available() -> bool:
@@ -60,39 +69,71 @@ def native_decode_gray(path: str) -> Optional[np.ndarray]:
     lib = _load()
     if lib is None:
         return None
-    buf = np.empty(_MAX_BYTES, np.uint8)
+    probe = native_probe(path)
+    if probe is None:
+        return None
+    hh, ww = probe
+    buf = np.empty(hh * ww, np.uint8)
     w = ctypes.c_int32(0)
     h = ctypes.c_int32(0)
     rc = lib.segtpu_decode_gray(
         path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        _MAX_BYTES, ctypes.byref(w), ctypes.byref(h))
+        hh * ww, ctypes.byref(w), ctypes.byref(h))
     if rc != 0:
         return None
-    return buf[: h.value * w.value].reshape(h.value, w.value).copy()
+    return buf[: h.value * w.value].reshape(h.value, w.value)
+
+
+def native_probe(path: str) -> Optional[Tuple[int, int]]:
+    """Header-only probe: (H, W) if the file is a supported TIFF."""
+    lib = _load()
+    if lib is None:
+        return None
+    w = ctypes.c_int32(0)
+    h = ctypes.c_int32(0)
+    if lib.segtpu_probe_gray(path.encode(), ctypes.byref(w),
+                             ctypes.byref(h)) != 0:
+        return None
+    return int(h.value), int(w.value)
 
 
 def native_decode_batch(paths: List[str], n_threads: int = 4
                         ) -> List[Optional[np.ndarray]]:
-    """Thread-pooled batch decode; per-image None on unsupported files."""
+    """Thread-pooled batch decode; per-image None on unsupported files.
+
+    Two-phase: cheap header probes size every image, then ONE exact-sized
+    output allocation is filled by the pthread pool (the previous fixed
+    64 MB/image buffer cost more in page faults than the decode itself)."""
     lib = _load()
     if lib is None:
         return [None] * len(paths)
     n = len(paths)
     if n == 0:
         return []
-    out = np.empty((n, _MAX_BYTES), np.uint8)
+    shapes = [native_probe(p) for p in paths]
+    sizes = [s[0] * s[1] if s is not None else 0 for s in shapes]
+    offsets = np.zeros(n, np.int64)
+    total = 0
+    for i, sz in enumerate(sizes):
+        offsets[i] = total
+        total += sz
+    out = np.empty(max(total, 1), np.uint8)
+    caps = np.asarray(sizes, np.int64)
     dims = np.zeros(2 * n, np.int32)
     status = np.zeros(n, np.int32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    lib.segtpu_decode_batch(
+    lib.segtpu_decode_batch_at(
         arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        _MAX_BYTES, dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        caps.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_threads)
     results: List[Optional[np.ndarray]] = []
     for i in range(n):
-        if status[i] != 0:
+        if shapes[i] is None or status[i] != 0:
             results.append(None)
             continue
         hh, ww = int(dims[2 * i]), int(dims[2 * i + 1])
-        results.append(out[i, : hh * ww].reshape(hh, ww).copy())
+        start = int(offsets[i])
+        results.append(out[start: start + hh * ww].reshape(hh, ww).copy())
     return results

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from segtpu.data.io import decode_gray
+from segtpu.data.io import decode_gray, decode_gray_batch
 from segtpu.ops.clahe import clahe
 from segtpu.ops.resize import resize_area, resize_nearest
 
@@ -71,8 +71,7 @@ def load_canonical_images(image_paths: Sequence[str],
     n = len(image_paths)
     imgs_out = np.zeros((n, *img_size), np.uint8)
     groups = {}
-    for i, ip in enumerate(image_paths):
-        img = decode_gray(ip)
+    for i, img in enumerate(decode_gray_batch(list(image_paths))):
         groups.setdefault(img.shape, []).append((i, img))
     for shape, items in groups.items():
         idx = np.array([i for i, _ in items])
@@ -83,22 +82,28 @@ def load_canonical_images(image_paths: Sequence[str],
 
 
 def load_canonical(image_paths: Sequence[str], mask_paths: Sequence[str],
-                   img_size: Tuple[int, int] = (256, 256)
-                   ) -> Tuple[np.ndarray, np.ndarray]:
+                   img_size: Tuple[int, int] = (256, 256),
+                   return_raw_shapes: bool = False):
     """Decode + device-resize all pairs to canonical uint8 frames.
 
     Returns (images (N,S,S) uint8, masks (N,S,S) uint8 binary 0/1), host
-    numpy (small). Handles mixed raw shapes by grouping."""
+    numpy (small). Handles mixed raw shapes by grouping. With
+    ``return_raw_shapes`` also returns the per-image raw (H, W) as an
+    (N, 2) int32 array — used by raw-frame-aware augmentation
+    (segtpu.data.augment.RAW_FRAME_AWARE)."""
     n = len(image_paths)
     imgs_out = np.zeros((n, *img_size), np.uint8)
     masks_out = np.zeros((n, *img_size), np.uint8)
+    raw_shapes = np.zeros((n, 2), np.int32)
 
+    # one threaded native batch decode for all files (PIL fallback per file)
+    decoded = decode_gray_batch(list(image_paths) + list(mask_paths))
     groups = {}
-    for i, (ip, mp) in enumerate(zip(image_paths, mask_paths)):
-        img = decode_gray(ip)
-        msk = decode_gray(mp)
+    for i in range(n):
+        img, msk = decoded[i], decoded[n + i]
         if msk.shape != img.shape:  # defensive: masks should match raw images
             msk = np.array(jax.device_get(resize_nearest(jnp.asarray(msk), img.shape)))
+        raw_shapes[i] = img.shape
         groups.setdefault(img.shape, []).append((i, img, msk))
 
     for shape, items in groups.items():
@@ -109,6 +114,8 @@ def load_canonical(image_paths: Sequence[str], mask_paths: Sequence[str],
         ci, cm = f(jnp.asarray(raw_i), jnp.asarray(raw_m))
         imgs_out[idx] = np.asarray(jax.device_get(ci))
         masks_out[idx] = np.asarray(jax.device_get(cm))
+    if return_raw_shapes:
+        return imgs_out, masks_out, raw_shapes
     return imgs_out, masks_out
 
 

@@ -58,3 +58,83 @@ def test_decode_gray_integration(tmp_path, rng):
     Image.fromarray(a).save(p)
     clear_decode_cache()
     assert np.array_equal(decode_gray(p), a)
+
+
+def test_native_decode_lzw_and_packbits(tmp_path, rng):
+    """LZW (comp 5) and PackBits (comp 32773) strip TIFFs decode natively
+    (native/segtpu_io.cc lzw_decode/packbits_decode)."""
+    from PIL import Image
+    smooth = (np.cumsum(rng.integers(-2, 3, (200, 300)), axis=1)
+              % 256).astype(np.uint8)
+    noisy = rng.integers(0, 256, (64, 96), np.uint8)
+    for comp in ("tiff_lzw", "packbits"):
+        for j, a in enumerate((smooth, noisy)):
+            p = str(tmp_path / f"{comp}_{j}.tif")
+            Image.fromarray(a).save(p, compression=comp)
+            d = native_decode_gray(p)
+            assert d is not None, (comp, j)
+            assert np.array_equal(d, a), (comp, j)
+
+
+def _write_tiff_predictor2(path, arr, little=True):
+    """Minimal uncompressed strip TIFF with horizontal-differencing
+    predictor (tag 317 == 2)."""
+    import struct
+    h, w = arr.shape
+    d = arr.astype(np.int16)
+    d[:, 1:] = d[:, 1:] - d[:, :-1]
+    data = (d % 256).astype(np.uint8).tobytes()
+    bo = "<" if little else ">"
+    hdr = (b"II" if little else b"MM") + struct.pack(bo + "H", 42) \
+        + struct.pack(bo + "I", 8)
+
+    def tag(t, typ, cnt, val):
+        head = struct.pack(bo + "HHI", t, typ, cnt)
+        if typ == 3:  # SHORT lives in the FIRST 2 bytes of the value field
+            return head + struct.pack(bo + "H", val) + b"\x00\x00"
+        return head + struct.pack(bo + "I", val)
+
+    ntags = 9
+    data_off = 8 + 2 + ntags * 12 + 4
+    tags = (tag(256, 3, 1, w) + tag(257, 3, 1, h) + tag(258, 3, 1, 8)
+            + tag(259, 3, 1, 1) + tag(262, 3, 1, 1)
+            + tag(273, 4, 1, data_off) + tag(278, 3, 1, h)
+            + tag(279, 4, 1, len(data)) + tag(317, 3, 1, 2))
+    import struct as _s
+    ifd = _s.pack(bo + "H", ntags) + tags + _s.pack(bo + "I", 0)
+    with open(path, "wb") as f:
+        f.write(hdr + ifd + data)
+
+
+@pytest.mark.parametrize("little", [True, False])
+def test_native_decode_predictor2(tmp_path, rng, little):
+    a = rng.integers(0, 256, (40, 60), np.uint8)
+    p = str(tmp_path / f"pred2_{little}.tif")
+    _write_tiff_predictor2(p, a, little)
+    d = native_decode_gray(p)
+    assert d is not None
+    assert np.array_equal(d, a)
+
+
+def test_load_canonical_uses_batch_decode(tmp_path, rng):
+    """load_canonical round-trips LZW-compressed pairs through the native
+    batch decoder."""
+    from PIL import Image
+    from segtpu.data.io import clear_decode_cache
+    from segtpu.data.preprocess import load_canonical
+    imgs, masks = [], []
+    for i in range(3):
+        a = rng.integers(0, 256, (80, 100), np.uint8)
+        m = (rng.uniform(size=(80, 100)) > 0.6).astype(np.uint8) * 255
+        ip = str(tmp_path / f"i{i}.tif")
+        mp = str(tmp_path / f"i{i}_GT.tif")
+        Image.fromarray(a).save(ip, compression="tiff_lzw")
+        Image.fromarray(m).save(mp, compression="packbits")
+        imgs.append(ip)
+        masks.append(mp)
+    clear_decode_cache()
+    ci, cm, raw = load_canonical(imgs, masks, (64, 64),
+                                 return_raw_shapes=True)
+    assert ci.shape == (3, 64, 64) and cm.shape == (3, 64, 64)
+    assert (raw == [80, 100]).all()
+    assert set(np.unique(cm)) <= {0, 1}
