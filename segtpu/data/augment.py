@@ -13,9 +13,12 @@ Parity notes vs Albumentations:
   forward_selection_integration.py:71-179).
 - Geometric transforms act on the canonical (resized, square) frame rather
   than the raw image. For warps this commutes with the resize up to
-  interpolation error; for ``random_crop``/``downscale`` the effective
-  magnitude is relative to the canonical size (documented divergence — the
-  reference crops 96² out of the *raw* image, then resizes).
+  interpolation error. ``random_crop``/``downscale`` are *raw-frame
+  aware*: given the per-image raw shape (``raw_hw``), their raw-pixel
+  parameters (the 96² raw crop, the raw-resolution downscale factor) are
+  folded into the canonical resample so the effective magnitude matches
+  the reference exactly; without ``raw_hw`` they fall back to
+  canonical-relative magnitudes (the fast default).
 - Masks are transformed jointly with nearest interpolation; intensity/blur/
   dropout transforms are image-only (Albumentations semantics).
 
@@ -211,21 +214,38 @@ def t_optical_distortion(pair: Pair, key, distort_limit: float = 0.5,
     return _warp_pair(pair, ys, xs, "reflect")
 
 
-def t_random_crop(pair: Pair, key, crop: int = 96) -> Pair:
+def t_random_crop(pair: Pair, key, crop: int = 96, raw_hw=None) -> Pair:
     """A.RandomCrop(96, 96) followed by the dataset's resize back to the
     canonical size (the reference crops the raw file and the dataset
-    resizes, forward_selection_integration.py:168-172 + dataset.py:50)."""
+    resizes, forward_selection_integration.py:168-172 + dataset.py:50).
+
+    ``raw_hw=None`` (canonical mode): crops ``crop``² of the canonical
+    frame — a mild zoom. ``raw_hw=(H_raw, W_raw)`` (raw-frame mode, the
+    reference's semantics): the 96² *raw*-pixel window is folded into the
+    canonical resize — the effective canonical window is
+    ``crop·S/raw`` per axis, so a 96² crop of a 1024² raw image is a strong
+    ~10× zoom exactly as in the reference pipeline. The zoomed content is
+    resampled from the canonical frame (the raw pixels are gone by this
+    point), so it is a band-limited approximation of the true raw crop."""
     s = pair[0].shape[0]
-    c = min(crop, s)
     ky, kx = jax.random.split(key)
-    oy = jax.random.randint(ky, (), 0, s - c + 1).astype(jnp.float32)
-    ox = jax.random.randint(kx, (), 0, s - c + 1).astype(jnp.float32)
-    # sample the c×c window back up at canonical resolution (bilinear for
-    # image, nearest for mask — the dataset's INTER_AREA/NEAREST analog).
     out = jnp.arange(s, dtype=jnp.float32)
-    src = (out + 0.5) * (c / s) - 0.5
-    ys = oy + src[:, None] * jnp.ones((1, s))
-    xs = ox + jnp.ones((s, 1)) * src[None, :]
+    if raw_hw is None:
+        cy = cx = float(min(crop, s))
+        oy = jax.random.randint(ky, (), 0, s - int(cy) + 1).astype(jnp.float32)
+        ox = jax.random.randint(kx, (), 0, s - int(cx) + 1).astype(jnp.float32)
+    else:
+        raw_hw = jnp.asarray(raw_hw, jnp.float32)
+        cy = jnp.clip(crop * s / raw_hw[0], 1.0, float(s))
+        cx = jnp.clip(crop * s / raw_hw[1], 1.0, float(s))
+        # reference: integer raw offset uniform in [0, raw-crop]; in
+        # canonical units that is (continuous) uniform in [0, s-c].
+        oy = jax.random.uniform(ky, ()) * (s - cy)
+        ox = jax.random.uniform(kx, ()) * (s - cx)
+    # sample the window back up at canonical resolution (bilinear for
+    # image, nearest for mask — the dataset's INTER_AREA/NEAREST analog).
+    ys = oy + ((out + 0.5) * (cy / s) - 0.5)[:, None] * jnp.ones((1, s))
+    xs = ox + jnp.ones((s, 1)) * ((out + 0.5) * (cx / s) - 0.5)[None, :]
     return _warp_pair(pair, ys, xs, "reflect")
 
 
@@ -351,19 +371,34 @@ def t_advanced_blur(pair: Pair, key, **kw) -> Pair:
 
 
 def t_downscale(pair: Pair, key, scale_min: float = 0.5,
-                scale_max: float = 0.75) -> Pair:
+                scale_max: float = 0.75, raw_hw=None) -> Pair:
     """A.Downscale: quality loss from down+up scaling, emulated as a single
-    resample at quantized low-res sample positions (static shapes)."""
+    resample at quantized low-res sample positions (static shapes).
+
+    ``raw_hw=None`` (canonical mode): the low-res grid has ``S·sc`` samples
+    across the field. ``raw_hw`` given (raw-frame mode, reference
+    semantics): the reference downscales the *raw* image, so the grid has
+    ``raw·sc`` samples across the field — when ``raw·sc ≥ S`` (big raw
+    files) the dataset's later resize to S averages the artifact away and
+    the transform is a near-no-op, exactly as in the reference pipeline."""
     img, mask = pair
     s = img.shape[0]
     sc = jax.random.uniform(key, (), minval=scale_min, maxval=scale_max)
-    low = jnp.floor(s * sc)
+    if raw_hw is None:
+        low_y = low_x = jnp.floor(s * sc)
+    else:
+        raw_hw = jnp.asarray(raw_hw, jnp.float32)
+        low_y = jnp.floor(raw_hw[0] * sc)
+        low_x = jnp.floor(raw_hw[1] * sc)
     out = jnp.arange(s, dtype=jnp.float32)
-    # position in low-res space, snapped to low-res sample centers:
-    lowpos = jnp.clip(jnp.floor((out + 0.5) * (low / s)), 0, low - 1)
-    src = (lowpos + 0.5) * (s / low) - 0.5
-    ys = src[:, None] * jnp.ones((1, s))
-    xs = jnp.ones((s, 1)) * src[None, :]
+
+    def snap(low):
+        # position in low-res space, snapped to low-res sample centers:
+        lowpos = jnp.clip(jnp.floor((out + 0.5) * (low / s)), 0, low - 1)
+        return (lowpos + 0.5) * (s / low) - 0.5
+
+    ys = snap(low_y)[:, None] * jnp.ones((1, s))
+    xs = jnp.ones((s, 1)) * snap(low_x)[None, :]
     return sample_bilinear(img, ys, xs, "reflect"), mask
 
 
@@ -457,43 +492,64 @@ def build_pipeline(names: Sequence[str], for_selection: bool = True
     steps = []
     for name in names:
         p = 0.7 if for_selection else production_probability(name)
-        steps.append((AUGMENTATION_CANDIDATES[name], p))
+        steps.append((AUGMENTATION_CANDIDATES[name], p,
+                      name in RAW_FRAME_AWARE))
     return _compose(steps)
+
+
+#: Transforms whose reference semantics act on the *raw* (pre-resize)
+#: image with pixel-unit parameters, so their effective canonical-frame
+#: magnitude depends on the raw shape (VERDICT round 1: random_crop crops
+#: 96² of the raw file, forward_selection_integration.py:168-172;
+#: downscale's factor applies to raw resolution).
+RAW_FRAME_AWARE = frozenset({"random_crop", "downscale"})
 
 
 class Pipeline:
     """Composed probability-gated transform chain.
 
-    Callable as ``pipeline((img, mask), key)`` like a single transform.
-    Carries a lazily-built jitted+vmapped batch function so repeated
-    ``augment_batch`` calls (every fold × every training run) reuse one
-    compiled program instead of re-tracing a fresh closure each time."""
+    Callable as ``pipeline((img, mask), key)`` like a single transform;
+    pass ``raw_hw=(H_raw, W_raw)`` to run raw-frame-aware transforms with
+    the reference's raw-pixel semantics. Carries lazily-built jitted+vmapped
+    batch functions so repeated ``augment_batch`` calls (every fold × every
+    training run) reuse one compiled program instead of re-tracing a fresh
+    closure each time."""
 
-    def __init__(self, steps: List[Tuple[Callable, float]]):
-        self.steps = steps
+    def __init__(self, steps: List[Tuple]):
+        # steps: (fn, p) or (fn, p, raw_aware)
+        self.steps = [s if len(s) == 3 else (*s, False) for s in steps]
         self._batch_jit = None
+        self._batch_jit_raw = None
 
-    def __call__(self, pair: Pair, key: jax.Array) -> Pair:
+    def __call__(self, pair: Pair, key: jax.Array, raw_hw=None) -> Pair:
         img, mask = pair
-        for i, (fn, p) in enumerate(self.steps):
+        for i, (fn, p, raw_aware) in enumerate(self.steps):
             kp, kt = jax.random.split(jax.random.fold_in(key, i))
             do = jax.random.uniform(kp) < p
-            ni, nm = fn((img, mask), kt)
+            if raw_aware and raw_hw is not None:
+                ni, nm = fn((img, mask), kt, raw_hw=raw_hw)
+            else:
+                ni, nm = fn((img, mask), kt)
             img = jnp.where(do, ni, img)
             mask = jnp.where(do, nm, mask)
         return img, mask
 
-    def batch_fn(self):
-        if self._batch_jit is None:
-            def one(img_u8, mask_u8, k):
-                img = img_u8.astype(jnp.float32)
-                mask = mask_u8.astype(jnp.float32) * 255.0  # dataset.py:180
-                ai, am = self((img, mask), k)
-                return (jnp.floor(jnp.clip(ai, 0, 255) + 0.5)
-                        .astype(jnp.uint8),
-                        (am > 127.0).astype(jnp.uint8))
+    def batch_fn(self, raw: bool = False):
+        def one(img_u8, mask_u8, k, raw_hw=None):
+            img = img_u8.astype(jnp.float32)
+            mask = mask_u8.astype(jnp.float32) * 255.0  # dataset.py:180
+            ai, am = self((img, mask), k, raw_hw=raw_hw)
+            return (jnp.floor(jnp.clip(ai, 0, 255) + 0.5)
+                    .astype(jnp.uint8),
+                    (am > 127.0).astype(jnp.uint8))
 
-            self._batch_jit = jax.jit(jax.vmap(one))
+        if raw:
+            if self._batch_jit_raw is None:
+                self._batch_jit_raw = jax.jit(jax.vmap(one))
+            return self._batch_jit_raw
+        if self._batch_jit is None:
+            self._batch_jit = jax.jit(jax.vmap(
+                lambda i, m, k: one(i, m, k)))
         return self._batch_jit
 
 
@@ -516,23 +572,30 @@ def _production_pipeline():
 
 
 def augment_batch(images_u8: jnp.ndarray, masks_u8: jnp.ndarray,
-                  key: jax.Array, pipeline: Callable, copies: int
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  key: jax.Array, pipeline: Callable, copies: int,
+                  raw_hw=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Generate ``copies`` augmented versions of every canonical image.
 
     images_u8 (N,S,S) uint8, masks_u8 (N,S,S) uint8 {0,1} →
-    (copies*N, S, S) uint8 images and binary masks, fully on device."""
+    (copies*N, S, S) uint8 images and binary masks, fully on device.
+    ``raw_hw`` (N, 2) original pre-resize shapes enables the reference's
+    raw-pixel semantics for raw-frame-aware transforms (RAW_FRAME_AWARE)."""
     n = images_u8.shape[0]
     if isinstance(pipeline, Pipeline):
-        fn = pipeline.batch_fn()
+        fn = pipeline.batch_fn(raw=raw_hw is not None)
     else:  # bare callable: wrap (no cross-call jit reuse)
         fn = Pipeline([]).batch_fn() if pipeline is None else \
             _compose([(lambda pair, k, _p=pipeline: _p(pair, k), 1.0)]).batch_fn()
+        raw_hw = None
 
     keys = jax.random.split(key, copies * n).reshape(copies, n)
     outs_i, outs_m = [], []
     for c in range(copies):
-        ai, am = fn(images_u8, masks_u8, keys[c])
+        if raw_hw is not None:
+            ai, am = fn(images_u8, masks_u8, keys[c],
+                        jnp.asarray(raw_hw, jnp.float32))
+        else:
+            ai, am = fn(images_u8, masks_u8, keys[c])
         outs_i.append(ai)
         outs_m.append(am)
     return jnp.concatenate(outs_i), jnp.concatenate(outs_m)

@@ -74,7 +74,8 @@ class AugmentationSelector:
         if self._canonical is None:
             self._canonical = load_canonical(
                 self.image_paths, self.mask_paths,
-                tuple(self.base_config["img_size"]))
+                tuple(self.base_config["img_size"]),
+                return_raw_shapes=True)
         return self._canonical
 
     # ------------------------------------------------------------ training
@@ -84,16 +85,19 @@ class AugmentationSelector:
         """One fold: augment (5 copies/img if any transform), train with
         early stopping, return best val IoU
         (forward_selection_integration.py:311-404)."""
-        ci, cm = self._get_canonical()
+        ci, cm, raw_hw = self._get_canonical()
         tr_i, tr_m = ci[train_idx], cm[train_idx]
         va_i, va_m = ci[val_idx], cm[val_idx]
 
         if selected_augs:
             pipeline = build_pipeline(selected_augs, for_selection=True)
+            # raw-frame semantics: random_crop's 96² and downscale's factor
+            # apply to the RAW image as in the reference
+            # (forward_selection_integration.py:168-172 + dataset.py:50).
             ai, am = augment_batch(
                 np.asarray(tr_i), np.asarray(tr_m),
                 jax.random.key(self.base_config.get("seed", 42)),
-                pipeline, copies=5)
+                pipeline, copies=5, raw_hw=raw_hw[train_idx])
             tr_i = np.concatenate([tr_i, np.asarray(ai)])
             tr_m = np.concatenate([tr_m, np.asarray(am)])
             print(f"      Training with {len(tr_i)} images "
