@@ -63,6 +63,7 @@ class TrainEngine:
         # params by reference (train.py:207-210 analog) and callers may
         # reuse a state pytree; donation would delete those buffers.
         self._train_step = jax.jit(self._train_step_impl)
+        self._train_step_accum = jax.jit(self._train_step_accum_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
         self._train_epoch = jax.jit(self._train_epoch_impl)
         self._eval_epoch = jax.jit(self._eval_epoch_impl)
@@ -98,6 +99,49 @@ class TrainEngine:
         new_params = optax.apply_updates(state.params, updates)
         metrics = self._metrics(self._act(logits), masks)
         metrics["loss"] = loss
+        return TrainState(new_params, new_bs, new_opt), metrics
+
+    def _train_step_accum_impl(self, state: TrainState, images, masks):
+        """Gradient-accumulation step: images/masks (A, b, S, S, 1) — A
+        micro-batches folded into ONE optimizer update, for effective
+        batches larger than HBM allows in a single forward (A·b total).
+
+        Semantics: per-micro-batch BN statistics (train-mode BN normalizes
+        by the micro-batch, as torch would at batch b), running stats
+        updated sequentially across micro-batches, gradients averaged over
+        A. With identical micro-batches this matches a plain
+        ``_train_step`` up to f32 rounding (pinned in
+        tests/test_grad_accum.py)."""
+
+        def micro(carry, batch):
+            bs_stats, grad_sum, metr_sum = carry
+            imgs, msks = batch
+
+            def loss_f(params):
+                logits, mut = self.model.apply(
+                    {"params": params, "batch_stats": bs_stats}, imgs,
+                    train=True, mutable=["batch_stats"])
+                return self.loss_fn(logits, msks), (logits,
+                                                    mut["batch_stats"])
+
+            (loss, (logits, new_bs)), grads = jax.value_and_grad(
+                loss_f, has_aux=True)(state.params)
+            m = self._metrics(self._act(logits), msks)
+            m["loss"] = loss
+            mv = jnp.stack([m[k] for k in METRIC_KEYS])
+            return (new_bs, jax.tree.map(jnp.add, grad_sum, grads),
+                    metr_sum + mv), None
+
+        a = images.shape[0]
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+        (new_bs, gsum, msum), _ = jax.lax.scan(
+            micro, (state.batch_stats, zeros, jnp.zeros(len(METRIC_KEYS))),
+            (images, masks))
+        grads = jax.tree.map(lambda g: g / a, gsum)
+        updates, new_opt = self.tx.update(grads, state.opt_state,
+                                          state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(zip(METRIC_KEYS, msum / a))
         return TrainState(new_params, new_bs, new_opt), metrics
 
     def _eval_step_impl(self, state: TrainState, images, masks):
@@ -191,6 +235,16 @@ class TrainEngine:
             totals = totals + jnp.stack([m[k] for k in METRIC_KEYS]) * r
         vals = jax.device_get(totals) / n
         return state, dict(zip(METRIC_KEYS, map(float, vals)))
+
+    def train_step_accum(self, state: TrainState, images, masks,
+                         lr: Optional[float] = None):
+        """Public gradient-accumulation step for effective batches larger
+        than HBM: images/masks (A, b, S, S, 1) — A sequential micro-batch
+        grads averaged into one optimizer update (see
+        ``_train_step_accum_impl`` for the BN semantics)."""
+        if lr is not None:
+            set_learning_rate(state.opt_state, lr)
+        return self._train_step_accum(state, images, masks)
 
     def _eval_totals(self, state: TrainState, loader) -> jnp.ndarray:
         """Device-side sample-weighted metric totals for one eval pass."""
