@@ -20,7 +20,16 @@ from segtpu.models import UNetWithBackbone
 
 class AugmentationAmountExperiment:
     """Sweep augmentation amounts with the shared CV harness
-    (augmentation_amount_experiment.py:18-349)."""
+    (augmentation_amount_experiment.py:18-349).
+
+    The reference sweeps ``range(1, 51)`` (augmentation_amount_experiment
+    .py:389); the default here is a subsampled grid that brackets the
+    reference's measured knee (≈9 aug/img, BASELINE.md) at a fraction of
+    the compute — pass ``augmentation_amounts=range(1, 51)`` for the
+    reference's full grid (see REFERENCE_GRID)."""
+
+    #: the reference's own sweep (augmentation_amount_experiment.py:389)
+    REFERENCE_GRID = tuple(range(1, 51))
 
     def __init__(self, base_config: Dict,
                  augmentation_amounts: List[int] = (0, 1, 2, 3, 5, 10)):

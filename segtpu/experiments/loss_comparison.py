@@ -76,13 +76,19 @@ def plot_cv_results(cv_results: Dict, save_dir: str) -> None:
 
     plt.figure(figsize=(15, 5))
     plt.subplot(1, 3, 1)
-    plt.bar(range(len(names)), [ious[i] for i in order],
-            yerr=[stds[i] for i in order], capsize=5, alpha=0.7)
+    bars = plt.bar(range(len(names)), [ious[i] for i in order],
+                   yerr=[stds[i] for i in order], capsize=5, alpha=0.7)
     plt.xticks(range(len(names)), [names[i] for i in order], rotation=45,
                ha="right")
     plt.ylabel("IoU")
     plt.title("Cross-Validation IoU Performance")
     plt.grid(axis="y", alpha=0.3)
+    # value labels above the error bars (loss_function_cross_validation
+    # .py:91-93)
+    for bar, i in zip(bars, order):
+        plt.text(bar.get_x() + bar.get_width() / 2,
+                 bar.get_height() + stds[i] + 0.01, f"{ious[i]:.3f}",
+                 ha="center", va="bottom", fontsize=8)
 
     plt.subplot(1, 3, 2)
     plt.bar(range(len(names)), [f1s[i] for i in order], alpha=0.7,

@@ -124,7 +124,12 @@ def _label_fallback(binary: np.ndarray):
 
 def iou_score(pred, target, apply_post_processing: bool = False,
               min_size: int = 25) -> float:
-    """IoU from logits, with optional post-processing (utils.py:86-118)."""
+    """IoU from logits, with optional post-processing (utils.py:86-118).
+
+    Note: the sigmoid here runs in host float64 numpy, while the training
+    metrics sigmoid runs on device in f32/bf16 — logits within ~1e-6 of
+    exactly 0 can therefore threshold differently between the two paths.
+    Post-hoc use only (as in the reference); harmless at that tolerance."""
     pred_np = np.asarray(jnp.asarray(pred))
     pred_sigmoid = 1.0 / (1.0 + np.exp(-pred_np))
     target_np = np.asarray(jnp.asarray(target))

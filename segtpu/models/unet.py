@@ -138,18 +138,26 @@ class UNetWithBackbone(nn.Module):
     # here). None = torch-default init (reference parity).
     final_bias_prior: Optional[float] = None
     # Inference-path kernel fusion: "none" (XLA everywhere, the parity
-    # reference) or "pallas" (route decoder upsample+skip-concat through
-    # upsample2x_concat_pallas at shapes where tools/kernel_bench.py
-    # measured it faster than XLA — PERF.md: 0.49× at 128→256). Fusion
+    # reference; the measured-best default) or "pallas" (route decoder
+    # upsample+skip-concat through upsample2x_concat_pallas). Fusion
     # engages only when train=False (Pallas kernels define no VJP) and only
-    # without attention gates: the gate consumes the materialized upsample
-    # (advanced_models.py:287), so the concat-fusion win does not exist on
-    # that dataflow (XLA already folds the gated concat into the decoder
-    # conv). Param trees are identical for both settings.
+    # without attention gates (the gate consumes the materialized upsample,
+    # advanced_models.py:287).
+    #
+    # MEASURED NEGATIVE RESULT (v5e, PERF.md round 2): standalone the
+    # kernel beats XLA 1.6–4× at the high-channel decoder shapes, but the
+    # standalone XLA baseline materializes the concat — IN the model XLA
+    # folds the concat into the next conv's input reads, so the kernel's
+    # fused output is pure extra HBM traffic (+2.5 GB, +3–5 ms per fused
+    # level at 512²/bs128; e2e 57.2→66.4 ms with two levels fused). The
+    # default therefore stays "none"; the option and its parity tests are
+    # kept as the evidence base (tests/test_fuse.py).
     fuse: str = "none"
-    # Minimum *input* spatial size of an upsample for the fused kernel
-    # (measured crossover: win at 128→256, parity at 64→128). Tests set 0.
-    fuse_min_h: int = 96
+    # Per-level gate when fuse="pallas": input channels ≥ fuse_min_cin AND
+    # B·H·W ≥ fuse_min_work (the standalone-profitable region). Tests set
+    # both to 0 to force fusion at toy shapes.
+    fuse_min_cin: int = 96
+    fuse_min_work: int = 16384
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -169,7 +177,9 @@ class UNetWithBackbone(nn.Module):
                 skip = _center_crop_to(skip, up_h, up_w)
             fused = (self.fuse == "pallas" and not train
                      and not self.use_attention
-                     and d.shape[1] >= self.fuse_min_h
+                     and d.shape[-1] >= self.fuse_min_cin
+                     and d.shape[0] * d.shape[1] * d.shape[2]
+                     >= self.fuse_min_work
                      and d.shape[1] % min(32, d.shape[1]) == 0
                      and d.shape[2] % min(32, d.shape[2]) == 0)
             if self.use_attention:

@@ -37,7 +37,7 @@ def test_fused_param_tree_identical_and_forward_parity(rng):
     x = jnp.asarray(rng.normal(size=(1, 64, 64, 1)).astype(np.float32))
     m0 = UNetWithBackbone(backbone="resnet34", use_attention=False)
     m1 = UNetWithBackbone(backbone="resnet34", use_attention=False,
-                          fuse="pallas", fuse_min_h=0)
+                          fuse="pallas", fuse_min_cin=0, fuse_min_work=0)
     v0 = m0.init(k, x, train=False)
     v1 = m1.init(k, x, train=False)
     assert jax.tree.all(jax.tree.map(
@@ -53,7 +53,7 @@ def test_fused_train_mode_falls_back_to_xla(rng):
     k = jax.random.key(0)
     x = jnp.asarray(rng.normal(size=(1, 32, 32, 1)).astype(np.float32))
     m1 = UNetWithBackbone(backbone="resnet34", use_attention=False,
-                          fuse="pallas", fuse_min_h=0)
+                          fuse="pallas", fuse_min_cin=0, fuse_min_work=0)
     v1 = m1.init(k, x, train=True)
 
     def loss(params):
