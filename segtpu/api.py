@@ -82,7 +82,12 @@ class Segmenter:
         """Paths / raw uint8 arrays / preprocessed float arrays →
         (N, S, S, 1) float32 model inputs."""
         img_size = tuple(self.config["img_size"])
-        if len(images) > 0 and isinstance(images[0], str):
+        if isinstance(images, str):
+            raise TypeError("images must be a list of paths or an array, "
+                            "not a single string")
+        if len(images) == 0:
+            raise ValueError("empty image set")
+        if isinstance(images[0], str):
             ci = load_canonical_images(list(images), img_size)
             return normalize_canonical(jnp.asarray(ci))
         arr = np.asarray(images)

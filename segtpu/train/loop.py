@@ -34,8 +34,23 @@ ArraysOrPaths = Union[Sequence[str], Tuple[np.ndarray, np.ndarray]]
 
 def _to_canonical(images, masks, img_size):
     """Accept path lists (reference API) or pre-resized canonical uint8
-    arrays; return (imgs_u8 (N,S,S), masks_u8 (N,S,S))."""
-    if len(images) > 0 and isinstance(images[0], str):
+    arrays; return (imgs_u8 (N,S,S), masks_u8 (N,S,S)).
+
+    Fail-fast validation: a bare string (would be iterated char-by-char)
+    or an empty training set otherwise dies deep inside decode/augment
+    with baffling errors."""
+    if isinstance(images, str) or isinstance(masks, str):
+        raise TypeError(
+            "images/masks must be a list of paths (or a canonical uint8 "
+            "array), not a single string — note load_original_data returns "
+            "a dict: use d['image_paths'], d['mask_paths']")
+    if len(images) == 0:
+        raise ValueError("empty image set: no training/validation images "
+                         "were provided (check data_dir and image_type)")
+    if len(images) != len(masks):
+        raise ValueError(f"images/masks length mismatch: {len(images)} "
+                         f"vs {len(masks)}")
+    if isinstance(images[0], str):
         return load_canonical(list(images), list(masks), img_size)
     return np.asarray(images), np.asarray(masks)
 

@@ -159,3 +159,26 @@ def test_cli_dispatch(monkeypatch):
               "--quick"])
     assert calls and calls[0][0] == "loss"
     assert calls[0][1]["n_splits"] == 2
+
+
+def test_train_model_input_validation():
+    """Fail-fast guards: bare string / empty / mismatched inputs raise
+    immediately instead of dying deep inside decode or augmentation."""
+    with pytest.raises(TypeError, match="single string"):
+        train_model(train_images="img.tif", train_masks="m.tif",
+                    num_epochs=1)
+    with pytest.raises(ValueError, match="empty image set"):
+        train_model(train_images=[], train_masks=[], num_epochs=1)
+    with pytest.raises(ValueError, match="length mismatch"):
+        train_model(train_images=["a.tif", "b.tif"], train_masks=["a.tif"],
+                    num_epochs=1)
+
+
+def test_segmenter_prep_images_validation():
+    import segtpu
+    seg = segtpu.Segmenter(backbone="resnet34", use_attention=False,
+                           config={"img_size": (32, 32)})
+    with pytest.raises(TypeError, match="single string"):
+        seg._prep_images("img.tif")
+    with pytest.raises(ValueError, match="empty"):
+        seg._prep_images([])
