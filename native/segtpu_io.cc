@@ -285,6 +285,9 @@ static int decode_tiff_gray(const uint8_t* buf, size_t len, uint8_t* out,
     }
     written_rows += rows;
   }
+  // A malformed file (RowsPerStrip=0, short strip list) must not report
+  // success with uninitialized output rows.
+  if (written_rows < height) return -12;
   *w = (int32_t)width;
   *h = (int32_t)height;
   return 0;
