@@ -450,3 +450,61 @@ def test_train_epoch_differential(ref):
     np.testing.assert_allclose(got_eval["loss"], want_eval["loss"],
                                rtol=5e-3)
     np.testing.assert_allclose(got_eval["iou"], want_eval["iou"], atol=6e-3)
+
+
+# ---------------------------------------------------------------- data
+
+def test_dataset_getitem_differential(ref, tmp_path):
+    """End-to-end data-layer parity vs the reference's OWN
+    CellSegmentationDataset.__getitem__ (dataset.py:44-66): cv2 decode →
+    INTER_AREA/INTER_NEAREST resize → percentile clip → CLAHE → min-max,
+    mask binarization, (1,H,W) float tensors."""
+    pytest.importorskip("cv2")
+    ref_dataset = import_reference("dataset")
+    from segtpu.data.io import make_synthetic_dataset
+    from segtpu.data.discovery import load_original_data
+    from segtpu.data.preprocess import (load_canonical, normalize_canonical,
+                                        normalize_microscopy_image)
+
+    root = make_synthetic_dataset(str(tmp_path / "d"), n_images=3,
+                                  image_type="W", seed=3)
+    d = load_original_data(root, image_type="W")
+    ips, mps = d["image_paths"], d["mask_paths"]
+
+    rds = ref_dataset.CellSegmentationDataset(ips, mps, img_size=(128, 128))
+    ci, cm = load_canonical(ips, mps, (128, 128))
+    ours_imgs = np.asarray(normalize_canonical(jnp.asarray(ci)))
+
+    for i in range(len(ips)):
+        want_img, want_mask = rds[i]
+        want_img = want_img.numpy()[0]          # (H, W) float32
+        want_mask = want_mask.numpy()[0]
+        got_img = ours_imgs[i, :, :, 0]
+        got_mask = (cm[i] > 0).astype(np.float32)
+        # Masks: INTER_NEAREST parity is exact (tests/test_ops.py), so the
+        # binarized masks must match bit-for-bit.
+        np.testing.assert_array_equal(got_mask, want_mask)
+        # Images: the canonical uint8 resize may differ ±1 from cv2's
+        # fixed-point INTER_AREA, which perturbs percentiles/CLAHE bins.
+        assert np.abs(got_img - want_img).max() < 0.05
+        assert np.abs(got_img - want_img).mean() < 0.005
+
+
+def test_normalize_microscopy_differential_same_input(ref, rng):
+    """On IDENTICAL canonical uint8 input, our normalization must match
+    the reference's normalize_microscopy_image (dataset.py:30-42) almost
+    exactly (CLAHE is bit-exact on 8-divisible tiles; percentiles in
+    float)."""
+    pytest.importorskip("cv2")
+    ref_dataset = import_reference("dataset")
+    rds = ref_dataset.CellSegmentationDataset([], [])
+    img = np.clip(rng.normal(110, 35, (128, 128)), 0,
+                  255).astype(np.uint8)
+    want = rds.normalize_microscopy_image(img)
+    got = np.asarray(normalize_microscopy_image_jax(jnp.asarray(img)))
+    assert np.abs(got - want).max() < 2e-2, np.abs(got - want).max()
+    assert (got != want).mean() < 0.02 or np.abs(got - want).max() < 5e-3
+
+
+from segtpu.data.preprocess import (  # noqa: E402
+    normalize_microscopy_image as normalize_microscopy_image_jax)
