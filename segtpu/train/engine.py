@@ -45,10 +45,17 @@ class TrainEngine:
 
     def __init__(self, model: UNetWithBackbone, loss_fn: Callable,
                  weight_decay_default: float = 0.0,
-                 multiclass: bool = False):
+                 multiclass: bool = False, remat: str = "none"):
         self.model = model
         self.loss_fn = loss_fn
         self.multiclass = multiclass
+        # "full": jax.checkpoint the whole forward in the train step — the
+        # backward recomputes activations instead of reading them from HBM.
+        # Measured roofline (tools/train_bench.py): the 512² train step is
+        # HBM-bound at ~97% bandwidth / 21% MFU (41-58 FLOP/B vs the v5e's
+        # ~240 FLOP/B balance), so trading spare MXU FLOPs for bytes is the
+        # right direction. Numerics are identical (same ops, same order).
+        self.remat = remat
         if multiclass:
             from segtpu.losses.multiclass import calculate_metrics_multiclass
             self._act = lambda lg: jax.nn.softmax(lg, axis=-1)
@@ -93,6 +100,8 @@ class TrainEngine:
             logits, mut = self._forward_train(params, state.batch_stats, images)
             return self.loss_fn(logits, masks), (logits, mut["batch_stats"])
 
+        if self.remat == "full":
+            loss_f = jax.checkpoint(loss_f)
         (loss, (logits, new_bs)), grads = jax.value_and_grad(
             loss_f, has_aux=True)(state.params)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
@@ -124,6 +133,8 @@ class TrainEngine:
                 return self.loss_fn(logits, msks), (logits,
                                                     mut["batch_stats"])
 
+            if self.remat == "full":
+                loss_f = jax.checkpoint(loss_f)
             (loss, (logits, new_bs)), grads = jax.value_and_grad(
                 loss_f, has_aux=True)(state.params)
             m = self._metrics(self._act(logits), msks)
@@ -319,7 +330,8 @@ def get_engine(config: Dict, criterion: Optional[Callable] = None
                  int(config.get("n_classes", 1)),
                  str(config.get("dtype", "float32")),
                  config.get("final_bias_prior"),
-                 str(config.get("fuse", "none")))
+                 str(config.get("fuse", "none")),
+                 str(config.get("remat", "none")))
 
     def build_model():
         return UNetWithBackbone(
@@ -329,7 +341,8 @@ def get_engine(config: Dict, criterion: Optional[Callable] = None
 
     multiclass = model_key[2] > 1
     if criterion is not None:
-        return TrainEngine(build_model(), criterion, multiclass=multiclass)
+        return TrainEngine(build_model(), criterion, multiclass=multiclass,
+                           remat=model_key[6])
     key = model_key + _loss_cache_key(config)
     if key not in _ENGINE_CACHE:
         if multiclass:
@@ -338,5 +351,6 @@ def get_engine(config: Dict, criterion: Optional[Callable] = None
         else:
             loss = get_loss_function(config)
         _ENGINE_CACHE[key] = TrainEngine(build_model(), loss,
-                                         multiclass=multiclass)
+                                         multiclass=multiclass,
+                                         remat=model_key[6])
     return _ENGINE_CACHE[key]

@@ -85,3 +85,22 @@ def test_accum_metrics_are_micro_batch_means(engine_state):
                                     jnp.stack([m1, m2]))
     want = (float(m_a["loss"]) + float(m_b["loss"])) / 2
     assert abs(float(m_acc["loss"]) - want) < 1e-6
+
+
+def test_remat_step_bit_identical_to_plain():
+    """remat='full' (jax.checkpoint around the loss) must not change
+    numerics — same ops, same order, only recomputed in the backward."""
+    from segtpu.train.engine import get_engine
+    cfg = {"backbone": "resnet34", "use_attention": False,
+           "loss_fn": "combo"}
+    eng_p = get_engine(cfg)
+    eng_r = get_engine({**cfg, "remat": "full"})
+    assert eng_r.remat == "full" and eng_p.remat == "none"
+    state = eng_p.init_state(jax.random.key(0), (1, 32, 32, 1),
+                             learning_rate=1e-3, weight_decay=0.0)
+    imgs, masks = _batch(jax.random.key(4), 2)
+    sp, mp = eng_p._train_step(state, imgs, masks)
+    sr, mr = eng_r._train_step(state, imgs, masks)
+    for a, b in zip(jax.tree.leaves(sp.params), jax.tree.leaves(sr.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(mp["loss"]) == float(mr["loss"])
