@@ -27,8 +27,8 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BASELINE_LOCAL.json")
 
 
-def measure_tpu_throughput() -> float:
-    """Steady-state throughput with tunnel-safe timing.
+def measure_tpu_throughput():
+    """Steady-state (images_per_sec, mfu_or_None) with tunnel-safe timing.
 
     On this rig the TPU is reached through a relay where
     ``block_until_ready`` does not actually synchronize and every

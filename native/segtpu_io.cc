@@ -27,6 +27,11 @@
 
 namespace {
 
+// Size sanity bounds for header-declared dimensions (see decode_tiff_gray
+// and probe_file): largest supported gray image is 512 MPix / 64k a side.
+constexpr uint32_t kMaxDim = 65536;
+constexpr size_t kMaxPixels = (size_t)512 << 20;
+
 struct Reader {
   const uint8_t* p;
   size_t n;
@@ -231,8 +236,12 @@ static int decode_tiff_gray(const uint8_t* buf, size_t len, uint8_t* out,
   if (spp != 1) return -6;                  // grayscale only
   if (bits != 8 && bits != 16) return -7;
   if (predictor != 1 && predictor != 2) return -10;
+  // Header-driven size sanity bound: a corrupt/adversarial file with huge
+  // declared dimensions must be a clean rejection (PIL fallback), not a
+  // multi-GB allocation / decompression bomb.
+  if (width > kMaxDim || height > kMaxDim) return -13;
   size_t need = (size_t)width * height;
-  if (need > cap) return -8;
+  if (need > kMaxPixels || need > cap) return -8;
 
   size_t bytes_per_px = bits / 8;
   size_t row_bytes = (size_t)width * bytes_per_px;
@@ -251,7 +260,10 @@ static int decode_tiff_gray(const uint8_t* buf, size_t len, uint8_t* out,
 
     const uint8_t* strip = nullptr;
     if (comp == 1) {
-      if (src_bytes < want) want = src_bytes;
+      // The row loop below reads the full rows*row_bytes from the mmap;
+      // a truncated strip must be rejected here, not read out of bounds
+      // (worst case SIGBUS past the last mapped page).
+      if (src_bytes < want) return -9;
       strip = buf + off;
     } else {
       scratch.clear();
@@ -368,6 +380,9 @@ static int probe_file(const char* path, int32_t* w, int32_t* h) {
   if (spp != 1) return -6;
   if (bits != 8 && bits != 16) return -7;
   if (pred != 1 && pred != 2) return -10;
+  if (width > kMaxDim || height > kMaxDim ||
+      (size_t)width * height > kMaxPixels)
+    return -13;
   *w = (int32_t)width;
   *h = (int32_t)height;
   return 0;

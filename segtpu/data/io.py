@@ -39,6 +39,11 @@ def decode_gray(path: str) -> np.ndarray:
             return arr
     except Exception:
         pass
+    return _decode_gray_pil(path, key)
+
+
+def _decode_gray_pil(path: str, key: Tuple[str, float]) -> np.ndarray:
+    """PIL decode branch (no native attempt) + cache insert."""
     from PIL import Image
     with Image.open(path) as im:
         if im.mode in ("I;16", "I;16B"):
@@ -94,7 +99,10 @@ def decode_gray_batch(paths: List[str], n_threads: int = 4
         for j, i in enumerate(miss_idx):
             arr = native_results[j] if native_results else None
             if arr is None:
-                arr = decode_gray(paths[i])  # PIL fallback (also caches)
+                # The batch call already established native can't decode
+                # this file — go straight to PIL (no second native probe
+                # + decode attempt per file).
+                arr = _decode_gray_pil(paths[i], keys[i])
             else:
                 if len(_DECODE_CACHE) >= _CACHE_MAX:
                     _DECODE_CACHE.clear()

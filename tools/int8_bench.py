@@ -23,32 +23,21 @@ from __future__ import annotations
 
 import argparse
 import functools
-import time
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 
+from timing import two_point_time
+
 
 def _time(fn, *args, iters=(3, 9), reps=2) -> float:
-    out = fn(*args)
-    jax.device_get(jnp.ravel(out)[0])  # compile + warm (real sync)
-
-    def run(n):
-        t0 = time.perf_counter()
-        o = None
-        for _ in range(n):
-            o = fn(*args)
-        jax.device_get(jnp.ravel(o)[0])
-        return time.perf_counter() - t0
-
-    n1, n2 = iters
-    best = None
-    for _ in range(reps):
-        t1 = min(run(n1), run(n1))
-        t2 = min(run(n2), run(n2))
-        t = max((t2 - t1) / (n2 - n1), 1e-9)
-        best = t if best is None else min(best, t)
-    return best
+    return two_point_time(fn, *args, iters=iters, reps=reps,
+                          sync=lambda o: jax.device_get(jnp.ravel(o)[0]))
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -22,31 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-
-def _sync(x):
-    jax.device_get(jnp.ravel(x)[0])
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from timing import two_point_time
 
 
 def timed(fn, *args, iters=(3, 9), reps=2):
-    out = fn(*args)
-    _sync(out[1]["loss"] if isinstance(out, tuple) else out)
-
-    def run(n):
-        t0 = time.perf_counter()
-        o = None
-        for _ in range(n):
-            o = fn(*args)
-        _sync(o[1]["loss"] if isinstance(o, tuple) else o)
-        return time.perf_counter() - t0
-
-    n1, n2 = iters
-    best = None
-    for _ in range(reps):
-        t1 = min(run(n1), run(n1))
-        t2 = min(run(n2), run(n2))
-        t = max((t2 - t1) / (n2 - n1), 1e-9)
-        best = t if best is None else min(best, t)
-    return best
+    return two_point_time(fn, *args, iters=iters, reps=reps)
 
 
 def main():
