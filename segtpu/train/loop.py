@@ -70,7 +70,7 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
                 scheduler: Optional[ReduceLROnPlateau] = None,
                 num_epochs: int = 50, device=None, config: Dict = None,
                 augmentations_per_image: int = 0,
-                save_plots: bool = True) -> Dict:
+                save_plots: bool = True, initial_state=None) -> Dict:
     """Complete training loop with validation, augmentation and tracking
     (reference: train_model, train.py:115-244).
 
@@ -78,7 +78,10 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
     use_attention, n_classes). ``optimizer``: optional dict overriding
     {'learning_rate', 'weight_decay'}. ``scheduler``: ReduceLROnPlateau or
     None (no schedule). ``device`` is accepted for API parity and ignored
-    (JAX places arrays).
+    (JAX places arrays). ``initial_state``: optional TrainState to train
+    FROM (converted/pretrained/resumed weights) — the analog of the
+    reference training whatever weights the passed torch model carries;
+    without it a fresh seed-derived init is used.
 
     Returns the reference's result schema: train_metrics, val_metrics,
     lr_history, best_iou, best_epoch, best_model_state, training_time,
@@ -114,7 +117,18 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
     lr = float(opt.get("learning_rate", config.get("learning_rate", 1e-3)))
     wd = float(opt.get("weight_decay", config.get("weight_decay", 1e-5)))
 
-    state = engine.init_state(jax.random.key(seed), (1, *img_size, 1), lr, wd)
+    if initial_state is not None:
+        # keep the caller's params/batch_stats; rebuild opt state with the
+        # requested hyperparams (a fresh optimizer, as the reference does
+        # when handed a model with loaded weights, train.py:301-364).
+        fresh = engine.init_state(jax.random.key(seed), (1, *img_size, 1),
+                                  lr, wd)
+        opt_state = engine.tx.init(initial_state.params)
+        opt_state.hyperparams.update(fresh.opt_state.hyperparams)
+        state = initial_state.replace(opt_state=opt_state)
+    else:
+        state = engine.init_state(jax.random.key(seed), (1, *img_size, 1),
+                                  lr, wd)
 
     # Whole-run fusion fast path (segtpu/train/fused_run.py): the entire
     # epoch loop — shuffling, plateau LR, early stopping, best weights —

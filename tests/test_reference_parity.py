@@ -508,3 +508,100 @@ def test_normalize_microscopy_differential_same_input(ref, rng):
 
 from segtpu.data.preprocess import (  # noqa: E402
     normalize_microscopy_image as normalize_microscopy_image_jax)
+
+
+# ------------------------------------------------------- orchestration
+
+def test_train_model_differential(ref, tmp_path):
+    """Multi-epoch ORCHESTRATION differential: the reference's own
+    train_model (train.py:115-244) vs segtpu's, from converted-identical
+    weights on the same image files, 4 epochs.
+
+    Design notes: batch_size == n_train gives one batch/epoch so torch's
+    shuffled loader and our PRNG loader see numerically identical batches
+    (BN statistics and mean loss are order-invariant within a batch); the
+    canonical uint8 resize differs from cv2 by ±1 LSB, so per-epoch loss
+    tolerances are loose-compounding rather than fp-tight (the tight
+    single-step claims live in test_train_epoch_differential)."""
+    import copy
+
+    from segtpu.data.io import make_synthetic_dataset
+    from segtpu.data.discovery import load_original_data
+    from segtpu.losses import get_loss_function
+    from segtpu.models import UNetWithBackbone
+    from segtpu.models.torch_convert import load_reference_checkpoint
+    from segtpu.train.engine import TrainEngine
+    from segtpu.train.loop import train_model
+    from segtpu.train.optim import ReduceLROnPlateau
+
+    root = make_synthetic_dataset(str(tmp_path / "d"), n_images=6,
+                                  image_type="W", seed=11)
+    d = load_original_data(root, image_type="W")
+    tr_i, tr_m = d["image_paths"][:4], d["mask_paths"][:4]
+    va_i, va_m = d["image_paths"][4:], d["mask_paths"][4:]
+
+    cfg = {"batch_size": 4, "img_size": (32, 32), "verbose": False,
+           "early_stopping_patience": 10, "early_stopping_min_delta": 0.001,
+           "num_epochs": 4, "seed": 0, "loss_fn": "combo",
+           "save_plots": False}
+
+    torch.manual_seed(7)
+    tmodel = ref.models.UNetWithBackbone(backbone="resnet34",
+                                         pretrained=False,
+                                         use_attention=False)
+    params, stats = load_reference_checkpoint(
+        tmodel.state_dict(), backbone="resnet34", use_attention=False)
+
+    # ---- reference side
+    criterion = ref.losses.get_loss_function({"loss_fn": "combo"})
+    optimizer = torch.optim.Adam(tmodel.parameters(), lr=1e-3,
+                                 weight_decay=1e-5)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        optimizer, mode="max", factor=0.5, patience=3)
+    want = ref.train.train_model(
+        tmodel, tr_i, tr_m, va_i, va_m, criterion, optimizer, sched,
+        num_epochs=4, device=torch.device("cpu"),
+        config={**cfg, "verbose": False}, augmentations_per_image=0,
+        save_plots=False)
+
+    # ---- segtpu side
+    model = UNetWithBackbone(backbone="resnet34", use_attention=False)
+    engine = TrainEngine(model, get_loss_function({"loss_fn": "combo"}))
+    state0 = engine.init_state(jax.random.key(0), (1, 32, 32, 1),
+                               learning_rate=1e-3, weight_decay=1e-5)
+    state0 = state0.replace(params=jax.tree.map(jnp.asarray, params),
+                            batch_stats=jax.tree.map(jnp.asarray, stats))
+
+    # train_model builds its own engine/state from config; use the engine
+    # path directly by passing the prepared engine and pre-set state via
+    # the public contract: train_model(model=engine, ...) reinitializes
+    # state, so instead drive the same orchestration with quick_train's
+    # underlying loop pieces — the public train_model with a fresh seed-0
+    # init would NOT share weights with torch. We therefore call
+    # train_model's engine loop manually here, mirroring loop.py.
+    got = train_model(
+        model=engine, train_images=tr_i, train_masks=tr_m,
+        val_images=va_i, val_masks=va_m,
+        scheduler=ReduceLROnPlateau(1e-3, mode="max", factor=0.5,
+                                    patience=3),
+        num_epochs=4, config=cfg, augmentations_per_image=0,
+        save_plots=False, initial_state=state0)
+
+    # schema: every reference result key exists here with the same types
+    for k in want:
+        assert k in got, f"missing result key {k}"
+    assert len(got["train_metrics"]) == len(want["train_metrics"]) == 4
+    assert len(got["lr_history"]) == len(want["lr_history"]) == 4
+    np.testing.assert_allclose(got["lr_history"], want["lr_history"])
+
+    # per-epoch loss trajectories agree within compounding tolerance
+    for e in range(4):
+        np.testing.assert_allclose(
+            got["train_metrics"][e]["loss"], want["train_metrics"][e]["loss"],
+            rtol=0.05, err_msg=f"train loss epoch {e}")
+        np.testing.assert_allclose(
+            got["val_metrics"][e]["loss"], want["val_metrics"][e]["loss"],
+            rtol=0.05, err_msg=f"val loss epoch {e}")
+    # both learn
+    assert got["train_metrics"][3]["loss"] < got["train_metrics"][0]["loss"]
+    assert want["train_metrics"][3]["loss"] < want["train_metrics"][0]["loss"]
