@@ -41,13 +41,35 @@ def _enable_compile_cache():
         return
     try:
         import jax
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("SEGTPU_COMPILE_CACHE",
-                                         "/root/.cache/segtpu_jax_cache"))
+        cache_dir = os.environ.get("SEGTPU_COMPILE_CACHE",
+                                   "/root/.cache/segtpu_jax_cache")
+        if getattr(jax.config, "jax_platforms", None) == "cpu":
+            # CPU-forced runs (tests, multichip dryrun): XLA:CPU caches
+            # AOT executables specialized to the compiling host's CPU
+            # features. Containers hop hosts between rounds, and LOADING
+            # an entry compiled with ISA extensions this host lacks
+            # segfaults the process (observed: SIGSEGV in
+            # compilation_cache.get_executable_and_time mid-suite). Use a
+            # per-host-fingerprint subdir so CPU executables never cross
+            # machines; TPU executables are host-independent and keep the
+            # shared dir.
+            cache_dir = cache_dir + "_cpu_" + _host_fingerprint()
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass
+
+
+def _host_fingerprint() -> str:
+    """Short stable hash of this host's CPU feature flags."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    return hashlib.sha1(flags.encode()).hexdigest()[:10]
 
 
 _enable_compile_cache()
