@@ -41,35 +41,25 @@ def _enable_compile_cache():
         return
     try:
         import jax
+        if getattr(jax.config, "jax_platforms", None) == "cpu":
+            # CPU-forced runs (tests, multichip dryrun): the XLA:CPU
+            # persistent cache is UNSAFE on this stack — deserializing
+            # AOT entries intermittently segfaults even same-host/
+            # same-run (observed twice: SIGSEGV inside
+            # compilation_cache.get_executable_and_time, preceded by
+            # cpu_aot_loader "machine feature +prefer-no-scatter not
+            # supported" warnings; a per-host-fingerprint cache dir did
+            # not fix it). Leave the persistent cache OFF for CPU; the
+            # in-process jit cache still amortizes within a run, and TPU
+            # executables (which ARE stable) keep the shared dir below.
+            return
         cache_dir = os.environ.get("SEGTPU_COMPILE_CACHE",
                                    "/root/.cache/segtpu_jax_cache")
-        if getattr(jax.config, "jax_platforms", None) == "cpu":
-            # CPU-forced runs (tests, multichip dryrun): XLA:CPU caches
-            # AOT executables specialized to the compiling host's CPU
-            # features. Containers hop hosts between rounds, and LOADING
-            # an entry compiled with ISA extensions this host lacks
-            # segfaults the process (observed: SIGSEGV in
-            # compilation_cache.get_executable_and_time mid-suite). Use a
-            # per-host-fingerprint subdir so CPU executables never cross
-            # machines; TPU executables are host-independent and keep the
-            # shared dir.
-            cache_dir = cache_dir + "_cpu_" + _host_fingerprint()
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass
-
-
-def _host_fingerprint() -> str:
-    """Short stable hash of this host's CPU feature flags."""
-    import hashlib
-    try:
-        with open("/proc/cpuinfo") as f:
-            flags = next((ln for ln in f if ln.startswith("flags")), "")
-    except OSError:
-        flags = ""
-    return hashlib.sha1(flags.encode()).hexdigest()[:10]
 
 
 _enable_compile_cache()

@@ -17,20 +17,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: XLA compiles of the U-Net graphs are
-# expensive on this box's single CPU core; cache them across test runs.
-# NOTE: per-HOST cache dir — XLA:CPU AOT executables are specialized to
-# the compiling host's ISA features, containers hop hosts between rounds,
-# and loading a foreign-host entry segfaults (observed mid-suite SIGSEGV
-# in compilation_cache.get_executable_and_time). segtpu.__init__ applies
-# the same fingerprinting when jax_platforms == "cpu".
-from segtpu import _host_fingerprint  # noqa: E402
-
-jax.config.update(
-    "jax_compilation_cache_dir",
-    "/root/.cache/segtpu_jax_cache_cpu_" + _host_fingerprint())
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NO persistent compilation cache on CPU: deserializing XLA:CPU AOT
+# cache entries intermittently SEGFAULTS on this stack (observed twice at
+# compilation_cache.get_executable_and_time, even with a fresh same-host
+# cache dir; cpu_aot_loader logs "+prefer-no-scatter not supported"
+# machine-feature mismatches first). segtpu.__init__ likewise skips the
+# cache when jax_platforms == "cpu"; the in-process jit cache still
+# amortizes compiles within a run.
 
 import numpy as np
 import pytest
