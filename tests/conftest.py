@@ -10,8 +10,15 @@ import os
 # override that sticks.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Some hosts this container lands on differ from the machine model
+# jaxlib's CPU client compiles for (cpu_aot_loader logs "machine feature
+# +prefer-no-scatter not supported ... could lead to SIGILL"), and long
+# runs intermittently SEGFAULT inside native XLA:CPU compile/load. Cap
+# codegen at AVX2 so emitted code never exceeds the weakest host.
+if "xla_cpu_max_isa" not in flags:
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
