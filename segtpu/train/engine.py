@@ -54,7 +54,8 @@ class TrainEngine:
         # Measured roofline (tools/train_bench.py): the 512² train step is
         # HBM-bound at ~97% bandwidth / 21% MFU (41-58 FLOP/B vs the v5e's
         # ~240 FLOP/B balance), so trading spare MXU FLOPs for bytes is the
-        # right direction. Numerics are identical (same ops, same order).
+        # right direction. Numerics match to fp-tightness (XLA may fuse
+        # the recomputed forward with different FMA contraction).
         self.remat = remat
         if multiclass:
             from segtpu.losses.multiclass import calculate_metrics_multiclass

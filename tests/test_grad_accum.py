@@ -87,9 +87,12 @@ def test_accum_metrics_are_micro_batch_means(engine_state):
     assert abs(float(m_acc["loss"]) - want) < 1e-6
 
 
-def test_remat_step_bit_identical_to_plain():
-    """remat='full' (jax.checkpoint around the loss) must not change
-    numerics — same ops, same order, only recomputed in the backward."""
+def test_remat_step_matches_plain():
+    """remat='full' (jax.checkpoint around the loss) performs the same
+    math, but XLA may schedule the recomputed forward with different
+    fusion/FMA contraction, so parity is fp-tight rather than bitwise
+    (observed: bit-identical without --xla_cpu_max_isa, ulp-level diffs
+    with it). Same Adam sign-flip caveat as the accumulation test."""
     from segtpu.train.engine import get_engine
     cfg = {"backbone": "resnet34", "use_attention": False,
            "loss_fn": "combo"}
@@ -101,6 +104,12 @@ def test_remat_step_bit_identical_to_plain():
     imgs, masks = _batch(jax.random.key(4), 2)
     sp, mp = eng_p._train_step(state, imgs, masks)
     sr, mr = eng_r._train_step(state, imgs, masks)
-    for a, b in zip(jax.tree.leaves(sp.params), jax.tree.leaves(sr.params)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    assert float(mp["loss"]) == float(mr["loss"])
+    diffs = np.concatenate([
+        np.abs(np.asarray(a) - np.asarray(b)).ravel()
+        for a, b in zip(jax.tree.leaves(sp.params),
+                        jax.tree.leaves(sr.params))])
+    assert np.quantile(diffs, 0.99) < 1e-6, np.quantile(diffs, 0.99)
+    assert diffs.max() < 2.5e-3, diffs.max()  # 2·lr sign-flip bound
+    assert (diffs > 1e-4).mean() < 1e-3
+    np.testing.assert_allclose(float(mp["loss"]), float(mr["loss"]),
+                               rtol=1e-6)
