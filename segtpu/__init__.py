@@ -41,17 +41,22 @@ def _enable_compile_cache():
         return
     try:
         import jax
-        if getattr(jax.config, "jax_platforms", None) == "cpu":
-            # CPU-forced runs (tests, multichip dryrun): the XLA:CPU
-            # persistent cache is UNSAFE on this stack — deserializing
-            # AOT entries intermittently segfaults even same-host/
-            # same-run (observed twice: SIGSEGV inside
-            # compilation_cache.get_executable_and_time, preceded by
-            # cpu_aot_loader "machine feature +prefer-no-scatter not
-            # supported" warnings; a per-host-fingerprint cache dir did
-            # not fix it). Leave the persistent cache OFF for CPU; the
-            # in-process jit cache still amortizes within a run, and TPU
-            # executables (which ARE stable) keep the shared dir below.
+        # Gate on the ACTUAL backend, not just the config override: if the
+        # TPU relay is down JAX silently falls back to CPU with
+        # jax_platforms unset, and XLA:CPU AOT entries must never reach the
+        # shared persistent cache — deserializing them intermittently
+        # segfaults on this stack (observed twice: SIGSEGV inside
+        # compilation_cache.get_executable_and_time, preceded by
+        # cpu_aot_loader "machine feature +prefer-no-scatter not
+        # supported" warnings; a per-host-fingerprint cache dir did not
+        # fix it). default_backend() initializes the backend here — the
+        # cost any first jax op pays anyway; callers that need a CPU
+        # override (tests/conftest.py, __graft_entry__) set
+        # jax.config.update("jax_platforms", "cpu") before importing
+        # segtpu, so the init lands on the platform they chose. The
+        # persistent cache stays ON only for TPU executables (which ARE
+        # stable); the in-process jit cache still amortizes CPU runs.
+        if jax.default_backend() != "tpu":
             return
         cache_dir = os.environ.get("SEGTPU_COMPILE_CACHE",
                                    "/root/.cache/segtpu_jax_cache")

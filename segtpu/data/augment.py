@@ -584,9 +584,14 @@ def augment_batch(images_u8: jnp.ndarray, masks_u8: jnp.ndarray,
     if isinstance(pipeline, Pipeline):
         fn = pipeline.batch_fn(raw=raw_hw is not None)
     else:  # bare callable: wrap (no cross-call jit reuse)
+        if raw_hw is not None:
+            raise ValueError(
+                "augment_batch: raw_hw requires a Pipeline — a bare "
+                "callable is wrapped with canonical-frame semantics and "
+                "would silently ignore the raw shapes. Build a "
+                "Pipeline([...]) from raw-frame-aware transforms instead.")
         fn = Pipeline([]).batch_fn() if pipeline is None else \
             _compose([(lambda pair, k, _p=pipeline: _p(pair, k), 1.0)]).batch_fn()
-        raw_hw = None
 
     keys = jax.random.split(key, copies * n).reshape(copies, n)
     outs_i, outs_m = [], []

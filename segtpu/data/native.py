@@ -97,13 +97,24 @@ def native_probe(path: str) -> Optional[Tuple[int, int]]:
     return int(h.value), int(w.value)
 
 
+# Aggregate output-buffer budget for one native_decode_batch call. Header
+# dims are attacker/corruption-controlled (up to kMaxPixels = 512 MB per
+# image), so an unbounded sum could demand a multi-GB np.empty that the
+# kernel overcommits and the OOM killer later reaps. Batches whose probed
+# total exceeds this are decoded in budget-sized chunks instead.
+_BATCH_BUDGET_BYTES = int(os.environ.get(
+    "SEGTPU_DECODE_BATCH_BUDGET", 1 << 30))
+
+
 def native_decode_batch(paths: List[str], n_threads: int = 4
                         ) -> List[Optional[np.ndarray]]:
     """Thread-pooled batch decode; per-image None on unsupported files.
 
     Two-phase: cheap header probes size every image, then ONE exact-sized
     output allocation is filled by the pthread pool (the previous fixed
-    64 MB/image buffer cost more in page faults than the decode itself)."""
+    64 MB/image buffer cost more in page faults than the decode itself).
+    The single allocation is capped at ``_BATCH_BUDGET_BYTES``; larger
+    batches are split into budget-sized chunks."""
     lib = _load()
     if lib is None:
         return [None] * len(paths)
@@ -112,6 +123,16 @@ def native_decode_batch(paths: List[str], n_threads: int = 4
         return []
     shapes = [native_probe(p) for p in paths]
     sizes = [s[0] * s[1] if s is not None else 0 for s in shapes]
+    if sum(sizes) > _BATCH_BUDGET_BYTES and n > 1:
+        results: List[Optional[np.ndarray]] = []
+        start, acc = 0, 0
+        for i, sz in enumerate(sizes):
+            if acc and acc + sz > _BATCH_BUDGET_BYTES:
+                results.extend(native_decode_batch(paths[start:i], n_threads))
+                start, acc = i, 0
+            acc += sz
+        results.extend(native_decode_batch(paths[start:], n_threads))
+        return results
     offsets = np.zeros(n, np.int64)
     total = 0
     for i, sz in enumerate(sizes):

@@ -170,69 +170,69 @@ class AugmentationSelector:
     # ------------------------------------------------------------ search
 
     def run_forward_selection(self, verbose: bool = True) -> Dict:
-        """Greedy search (forward_selection_integration.py:465-592)."""
+        """Greedy search — same algorithm as the reference's selector
+        (forward_selection_integration.py:465-592): score the empty set,
+        then per round score every remaining candidate added to the current
+        set and keep the best one if it clears ``improvement_threshold``.
+        The JSON result schema is byte-compatible with the reference's;
+        console output is this module's own compact log format."""
         selected: List[str] = []
         remaining = list(self.augmentation_candidates)
 
         if verbose:
-            print("\n" + "=" * 60)
-            print("AUGMENTATION FORWARD SELECTION")
-            print("=" * 60)
-            print(f"Dataset: {len(self.image_paths)} images "
-                  f"({self.base_config['image_type']} type)")
-            print(f"Model: {self.base_config['backbone']}")
-            print(f"Validation: {self.cv_folds}-fold cross-validation")
-            print(f"Candidates: {', '.join(remaining)}")
-            print("=" * 60)
+            print(f"forward-selection | {len(self.image_paths)} images "
+                  f"(type {self.base_config['image_type']}), "
+                  f"{self.base_config['backbone']}, "
+                  f"{self.cv_folds}-fold grouped CV, "
+                  f"{len(remaining)} candidates, "
+                  f"threshold {self.improvement_threshold}")
 
-        print("\nEvaluating baseline performance...")
+        if verbose:
+            print("forward-selection | scoring empty set (baseline)")
         baseline_score = self._evaluate_augmentation_set([])
         current_best = baseline_score
         if verbose:
-            print(f"\nBaseline IoU: {baseline_score:.4f}\n" + "-" * 60)
+            print(f"forward-selection | baseline IoU {baseline_score:.4f}")
 
         for iteration in range(self.max_augmentations):
             if verbose:
-                print(f"\nITERATION {iteration + 1}/{self.max_augmentations}")
-                if selected:
-                    print(f"Current selection: {' + '.join(selected)}")
-                print(f"Current best IoU: {current_best:.4f}")
-                print(f"Testing {len(remaining)} candidates...")
+                sel = " + ".join(selected) if selected else "<empty>"
+                print(f"forward-selection | round "
+                      f"{iteration + 1}/{self.max_augmentations}: "
+                      f"set={sel} (IoU {current_best:.4f}), trying "
+                      f"{len(remaining)} candidates")
 
             best_candidate = None
             best_score = current_best
             candidate_scores = {}
             for i, candidate in enumerate(remaining):
                 if verbose:
-                    print(f"\n  [{i+1}/{len(remaining)}] {candidate}:",
-                          end="", flush=True)
+                    print(f"  candidate {i + 1}/{len(remaining)} "
+                          f"{candidate}:", end="", flush=True)
                 score = self._evaluate_augmentation_set(selected + [candidate])
                 candidate_scores[candidate] = score
                 if score > best_score:
                     best_score = score
                     best_candidate = candidate
-                    if verbose:
-                        print(f"    ✓ New best! (+{score-current_best:.4f})")
-                elif verbose:
-                    print(f"    {score-current_best:+.4f}")
+                if verbose:
+                    mark = " <- round leader" if candidate == best_candidate \
+                        else ""
+                    print(f"    delta {score - current_best:+.4f}{mark}")
 
             improvement = best_score - current_best
             if verbose and candidate_scores:
-                print(f"\nIteration {iteration + 1} top candidates:")
-                for name, score in sorted(candidate_scores.items(),
-                                          key=lambda x: x[1],
-                                          reverse=True)[:3]:
-                    print(f"    {name}: {score:.4f} "
-                          f"({score-current_best:+.4f})")
+                ranked = sorted(candidate_scores.items(), key=lambda x: x[1],
+                                reverse=True)[:3]
+                summary = ", ".join(f"{n}={s:.4f}" for n, s in ranked)
+                print(f"forward-selection | round {iteration + 1} "
+                      f"leaders: {summary}")
 
-            if improvement < self.improvement_threshold:
+            if best_candidate is None or \
+                    improvement < self.improvement_threshold:
                 if verbose:
-                    print(f"\nStopping: Improvement ({improvement:.4f}) below "
-                          f"threshold ({self.improvement_threshold:.4f})")
-                break
-            if best_candidate is None:
-                if verbose:
-                    print("\nStopping: No improvement found")
+                    print(f"forward-selection | converged: best gain "
+                          f"{improvement:+.4f} < threshold "
+                          f"{self.improvement_threshold} — search ends")
                 break
 
             selected.append(best_candidate)
@@ -247,7 +247,8 @@ class AugmentationSelector:
                 "candidate_scores": dict(candidate_scores),
             })
             if verbose:
-                print(f"\n✓ Added: {best_candidate}\n" + "-" * 60)
+                print(f"forward-selection | accepted {best_candidate} "
+                      f"({improvement:+.4f}) -> IoU {current_best:.4f}")
 
         results = {
             "selected_augmentations": selected,
@@ -258,17 +259,12 @@ class AugmentationSelector:
             "config": self.base_config,
         }
         if verbose:
-            print("\n" + "=" * 60)
-            print("SELECTION COMPLETE")
-            print("=" * 60)
-            print(f"Selected augmentations: "
-                  f"{' + '.join(selected) if selected else 'None'}")
-            print(f"Final IoU: {current_best:.4f}")
             pct = ((current_best - baseline_score) / baseline_score * 100) \
                 if baseline_score else 0.0
-            print(f"Improvement: {current_best - baseline_score:.4f} "
+            final_set = " + ".join(selected) if selected else "none"
+            print(f"forward-selection | done: selected [{final_set}], "
+                  f"IoU {baseline_score:.4f} -> {current_best:.4f} "
                   f"({pct:+.1f}%)")
-            print("=" * 60)
         return results
 
     def create_optimal_pipeline(self, selected_augs: List[str]):

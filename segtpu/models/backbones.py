@@ -189,6 +189,12 @@ BACKBONE_CHANNELS = {
     "resnet34": (64, 64, 128, 256, 512),
     "resnet50": (64, 256, 512, 1024, 2048),
     "densenet121": (64, 256, 512, 1024, 1024),
+    # Test-scale stub: ResNet stage structure with one BasicBlock per stage
+    # (same stride/channel plan as resnet34, ~4× fewer convs). Used by the
+    # multi-chip dry run and fast tests — sharding/BN/epoch semantics are
+    # architecture-size independent, so validating them on the stub is
+    # equivalent and compiles in seconds on a 1-core host.
+    "resnet_tiny": (64, 64, 128, 256, 512),
 }
 
 
@@ -201,4 +207,7 @@ def make_encoder(backbone: str, dtype=jnp.float32) -> nn.Module:
                              name="encoder")
     if backbone == "densenet121":
         return DenseNetEncoder(dtype=dtype, name="encoder")
+    if backbone == "resnet_tiny":
+        return ResNetEncoder((1, 1, 1, 1), bottleneck=False, dtype=dtype,
+                             name="encoder")
     raise ValueError(f"Unknown backbone: {backbone}")

@@ -36,6 +36,8 @@ _DECODER_PLAN = {
     "densenet121": dict(up=(512, 256, 128, 64), dec=(512, 256, 128, 64),
                         att_int=(256, 128, 64, 32), head_in=64),
 }
+# Test-scale stub encoder shares resnet34's channel plan (backbones.py).
+_DECODER_PLAN["resnet_tiny"] = _DECODER_PLAN["resnet34"]
 
 
 def _center_crop_to(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:

@@ -61,6 +61,48 @@ def _materialize(imgs_u8, masks_u8):
     return imgs, masks
 
 
+def _auto_final_bias(engine: TrainEngine, state: TrainState, config: Dict,
+                     tr_masks, verbose: bool) -> TrainState:
+    """Initialize the final-conv bias to the training-set foreground logit
+    when training FROM SCRATCH (no initial_state, no explicit
+    ``final_bias_prior`` in config).
+
+    Why: with torch-default zero bias on heavily imbalanced masks, plain
+    BCE/weighted-BCE sink into the all-background local minimum and stall
+    at IoU≈0 (measured: the round-2 reference-scale loss sweep, PERF.md).
+    The reference never hits this because its encoders are ImageNet-
+    pretrained (advanced_models.py:72-78) — no such checkpoints exist in
+    this container. Setting bias = log(p/(1−p)) makes the initial predicted
+    foreground rate match the data (the standard imbalanced-seg init,
+    cf. focal-loss §3.3 prior initialization) and is loss-neutral for the
+    dice/combo family.
+
+    Applied as STATE surgery, not a model hyperparameter, so the engine
+    cache (keyed on model config) still shares one compiled program across
+    folds/datasets with different foreground ratios. Opt out with
+    ``config={'final_bias_prior': None}`` (torch-default zeros, reference
+    parity); an explicit float is baked into the model as before
+    (segtpu/models/unet.py:141)."""
+    if "final_bias_prior" in config:      # explicit value or explicit None:
+        return state                      # the model init already honored it
+    if getattr(engine.model, "n_classes", 1) != 1:
+        return state                      # binary-fg prior only
+    import math
+    p = float(np.clip(float(jnp.mean(tr_masks)), 1e-4, 1.0 - 1e-4))
+    b = math.log(p / (1.0 - p))
+    try:  # flax params are plain nested dicts; shallow-copy the spine
+        cf = dict(state.params["conv_final"])
+        cf["bias"] = jnp.full_like(cf["bias"], b)
+        params = dict(state.params)
+        params["conv_final"] = cf
+    except (KeyError, TypeError):
+        return state
+    if verbose:
+        print(f"From-scratch init: final bias set to foreground prior "
+              f"logit({p:.4f}) = {b:.3f}")
+    return state.replace(params=params)
+
+
 def train_model(model=None, train_images: ArraysOrPaths = (),
                 train_masks: ArraysOrPaths = (),
                 val_images: ArraysOrPaths = (),
@@ -121,14 +163,19 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
         # keep the caller's params/batch_stats; rebuild opt state with the
         # requested hyperparams (a fresh optimizer, as the reference does
         # when handed a model with loaded weights, train.py:301-364).
-        fresh = engine.init_state(jax.random.key(seed), (1, *img_size, 1),
-                                  lr, wd)
+        # Hyperparams are set directly — a full engine.init_state here
+        # would run a throwaway parameter init/compile just to produce
+        # two scalars.
         opt_state = engine.tx.init(initial_state.params)
-        opt_state.hyperparams.update(fresh.opt_state.hyperparams)
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            lr, jnp.float32)
+        opt_state.hyperparams["weight_decay"] = jnp.asarray(
+            wd, jnp.float32)
         state = initial_state.replace(opt_state=opt_state)
     else:
         state = engine.init_state(jax.random.key(seed), (1, *img_size, 1),
                                   lr, wd)
+        state = _auto_final_bias(engine, state, config, tr_masks, verbose)
 
     # Whole-run fusion fast path (segtpu/train/fused_run.py): the entire
     # epoch loop — shuffling, plateau LR, early stopping, best weights —

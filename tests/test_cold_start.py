@@ -1,0 +1,80 @@
+"""From-scratch convergence: the auto foreground-prior bias init.
+
+Round-2 finding (PERF.md loss-sweep artifact): plain BCE with torch-default
+zero final bias stalls in the all-background minimum on imbalanced masks
+when no pretrained encoder exists (the reference always trains pretrained,
+advanced_models.py:72-78). train_model now initializes the final-conv bias
+to logit(train fg-ratio) on fresh inits unless config says otherwise.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from segtpu.train.engine import get_engine
+from segtpu.train.loop import _auto_final_bias, train_model
+
+
+def _imbalanced_blobs(n=8, s=64, fg=0.06, seed=0):
+    """Synthetic imbalanced dataset: bright blobs on dark noise."""
+    rng = np.random.default_rng(seed)
+    imgs = np.zeros((n, s, s), np.uint8)
+    masks = np.zeros((n, s, s), np.uint8)
+    yy, xx = np.mgrid[:s, :s]
+    r = max(2, int(np.sqrt(fg * s * s / np.pi)))
+    for i in range(n):
+        cy, cx = rng.integers(r, s - r, 2)
+        blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+        imgs[i] = (40 + 20 * rng.standard_normal((s, s))).clip(0, 255)
+        imgs[i][blob] = 200
+        masks[i][blob] = 1
+    return imgs, masks
+
+
+def test_auto_bias_matches_fg_logit():
+    engine = get_engine({"backbone": "resnet_tiny", "use_attention": False,
+                         "loss_fn": "bce"})
+    state = engine.init_state(jax.random.key(0), (1, 32, 32, 1), 1e-3, 0.0)
+    masks = jnp.zeros((4, 32, 32, 1)).at[:, :8, :8, :].set(1.0)  # fg = 1/16
+    new = _auto_final_bias(engine, state, {}, masks, verbose=False)
+    p = 1.0 / 16.0
+    want = np.log(p / (1 - p))
+    got = np.asarray(new.params["conv_final"]["bias"])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # pytree structure unchanged → no engine recompile across folds
+    assert (jax.tree_util.tree_structure(new.params)
+            == jax.tree_util.tree_structure(state.params))
+
+
+def test_auto_bias_optout_and_explicit():
+    engine = get_engine({"backbone": "resnet_tiny", "use_attention": False,
+                         "loss_fn": "bce"})
+    state = engine.init_state(jax.random.key(0), (1, 32, 32, 1), 1e-3, 0.0)
+    masks = jnp.ones((2, 32, 32, 1)) * 0.25
+    # explicit None in config = reference-parity zeros, untouched
+    out = _auto_final_bias(engine, state, {"final_bias_prior": None}, masks,
+                           verbose=False)
+    assert out is state
+    # explicit float in config = baked into the model at init, untouched
+    out = _auto_final_bias(engine, state, {"final_bias_prior": 0.1}, masks,
+                           verbose=False)
+    assert out is state
+
+
+def test_bce_from_scratch_escapes_all_background():
+    """BCE + fresh init on imbalanced data must not stall at IoU≈0
+    (the round-2 loss-sweep defect). Tiny backbone, few epochs: the bar is
+    'predicts some foreground and beats the stall', not full convergence."""
+    imgs, masks = _imbalanced_blobs(n=8, s=64)
+    res = train_model(
+        train_images=imgs, train_masks=masks,
+        val_images=imgs, val_masks=masks,
+        config={"backbone": "resnet_tiny", "use_attention": False,
+                "loss_fn": "bce", "img_size": (64, 64), "batch_size": 4,
+                "learning_rate": 3e-3, "verbose": False, "seed": 0},
+        num_epochs=8, save_plots=False)
+    assert res["best_iou"] > 0.15, (
+        f"BCE from scratch stalled: best_iou={res['best_iou']:.4f} "
+        f"(all-background cold start)")

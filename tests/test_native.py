@@ -184,3 +184,15 @@ def test_huge_dims_rejected(tmp_path):
     p = str(tmp_path / "huge.tif")
     open(p, "wb").write(data)
     assert native_probe(p) is None
+
+
+def test_batch_decode_chunked_under_budget(tiffs, monkeypatch):
+    """The aggregate output buffer is bounded: with a budget smaller than
+    the batch total the decode splits into chunks and still returns every
+    image intact (ADVICE r2: unbounded sum of header-declared sizes)."""
+    import segtpu.data.native as native_mod
+    monkeypatch.setattr(native_mod, "_BATCH_BUDGET_BYTES", 20000)
+    batch = native_mod.native_decode_batch([p for p, _ in tiffs],
+                                           n_threads=2)
+    for b, (_, a) in zip(batch, tiffs):
+        assert b is not None and np.array_equal(b, a)

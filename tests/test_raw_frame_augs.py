@@ -98,3 +98,20 @@ def test_load_canonical_returns_raw_shapes(tmp_path):
                                  (64, 64), return_raw_shapes=True)
     assert raw.shape == (len(d["image_paths"]), 2)
     assert (raw > 0).all()
+
+
+def test_augment_batch_raw_hw_requires_pipeline():
+    """raw_hw with a bare callable must raise, not silently fall back to
+    canonical-frame semantics (ADVICE r2)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from segtpu.data.augment import augment_batch
+
+    imgs = jnp.zeros((2, 16, 16), jnp.uint8)
+    masks = jnp.zeros((2, 16, 16), jnp.uint8)
+    with pytest.raises(ValueError, match="raw_hw requires a Pipeline"):
+        augment_batch(imgs, masks, jax.random.key(0),
+                      lambda pair, k: pair, copies=1,
+                      raw_hw=np.full((2, 2), 32.0))
