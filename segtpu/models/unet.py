@@ -119,6 +119,30 @@ class _UpConv2x(nn.Module):
         return up + bias.reshape((1,) * (up.ndim - 1) + (-1,))
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only leaf: declares the exact (kernel, bias) of the
+    ``nn.Conv``/``nn.ConvTranspose`` it replaces — same names, shapes,
+    initializers and param_dtype — and returns them for call-site math.
+    Lets the head compose/fuse the two linear ops while keeping the param
+    tree (and checkpoints) bit-identical to the plain-module form."""
+    kernel_size: Tuple[int, int]
+    features: int
+    bias_init: Any = None
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        from flax.linen.linear import default_kernel_init
+        kernel = self.param(
+            "kernel", default_kernel_init,
+            (*self.kernel_size, in_features, self.features), jnp.float32)
+        bias = self.param(
+            "bias",
+            self.bias_init if self.bias_init is not None
+            else nn.initializers.zeros_init(),
+            (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class UNetWithBackbone(nn.Module):
     """Attention U-Net over a pretrained-style encoder.
 
@@ -160,6 +184,12 @@ class UNetWithBackbone(nn.Module):
     # both to 0 to force fusion at toy shapes.
     fuse_min_cin: int = 96
     fuse_min_work: int = 16384
+    # Inference-path head fusion (weight-space, always exact up to fp
+    # reassociation): contract upconv0's (2,2,Cin,16) transposed-conv
+    # kernel with conv_final's (1,1,16,n) kernel into one (2,2,Cin,n)
+    # transposed conv, skipping the full-resolution 16-channel
+    # intermediate. Engages only when train=False.
+    fuse_head: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -204,17 +234,44 @@ class UNetWithBackbone(nn.Module):
                 d = _DecoderBlock(plan["dec"][i], dtype=self.dtype,
                                   name=f"decoder{lvl}")(cat, train)
 
-        d0 = nn.ConvTranspose(16, (2, 2), strides=(2, 2), padding="VALID",
-                              dtype=self.dtype, name="upconv0")(d)
-        d0 = _center_crop_to(d0, x.shape[1], x.shape[2])
         if self.final_bias_prior is not None:
             import math
             p = float(self.final_bias_prior)
             bias_init = nn.initializers.constant(math.log(p / (1.0 - p)))
         else:
             bias_init = nn.initializers.zeros_init()
-        out = nn.Conv(self.n_classes, (1, 1), dtype=self.dtype,
-                      bias_init=bias_init, name="conv_final")(d0)
+        # Head: upconv0 (2×2/s2 transposed conv 32→16) then conv_final
+        # (1×1 16→n). There is no nonlinearity between them (matching
+        # advanced_models.py:157-160,337-350), so the composition is ONE
+        # linear map: at inference the two kernels are contracted into a
+        # single (2,2,Cin,n) transposed conv — the (B,512,512,16)
+        # intermediate (1.7 GB at bs128/bf16) never touches HBM. Measured:
+        # see PERF.md round 3. Params keep the reference tree (upconv0/
+        # conv_final, same names/shapes/inits) so checkpoints are
+        # unaffected; training uses the unfused two-op form.
+        w0, b0 = _ConvParams((2, 2), 16, name="upconv0")(d.shape[-1])
+        wf, bf = _ConvParams((1, 1), self.n_classes, bias_init=bias_init,
+                             name="conv_final")(16)
+        d, w0, b0, wf, bf = nn.dtypes.promote_dtype(
+            d, w0, b0, wf, bf, dtype=self.dtype)
+        if self.fuse_head and not train:
+            w = jnp.einsum("abio,on->abin", w0, wf[0, 0])
+            b = bf + b0 @ wf[0, 0]
+            out = jax.lax.conv_transpose(
+                d, w, (2, 2), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            out = out + b.reshape((1, 1, 1, -1))
+            out = _center_crop_to(out, x.shape[1], x.shape[2])
+        else:
+            d0 = jax.lax.conv_transpose(
+                d, w0, (2, 2), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            d0 = d0 + b0.reshape((1, 1, 1, -1))
+            d0 = _center_crop_to(d0, x.shape[1], x.shape[2])
+            out = jax.lax.conv_general_dilated(
+                d0, wf, (1, 1), [(0, 0), (0, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            out = out + bf.reshape((1, 1, 1, -1))
 
         if return_features:
             # Fuse x2 (bilinear-upsampled to x3's size) with x3

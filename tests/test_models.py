@@ -153,3 +153,33 @@ def test_full_compile_big_backbones(backbone):
     out = fwd(params, bs, jnp.zeros((2, 32, 32, 1)))
     assert out.shape == (2, 32, 32, 1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_head_fusion_parity():
+    """fuse_head contracts upconv0∘conv_final into one transposed conv;
+    outputs must match the unfused two-op head to fp tightness, and the
+    param tree must be identical (checkpoint compatibility)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from segtpu.models import UNetWithBackbone, create_model_state
+
+    kw = dict(backbone="resnet_tiny", use_attention=False)
+    m_fused = UNetWithBackbone(**kw, fuse_head=True)
+    m_plain = UNetWithBackbone(**kw, fuse_head=False)
+    params, bs = create_model_state(m_fused, jax.random.key(0),
+                                    (1, 64, 64, 1))
+    p2, bs2 = create_model_state(m_plain, jax.random.key(0), (1, 64, 64, 1))
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    x = jax.random.normal(jax.random.key(1), (2, 64, 64, 1), jnp.float32)
+    y_fused = m_fused.apply({"params": params, "batch_stats": bs}, x,
+                            train=False)
+    y_plain = m_plain.apply({"params": params, "batch_stats": bs}, x,
+                            train=False)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_plain),
+                               atol=1e-5, rtol=1e-5)

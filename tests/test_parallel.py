@@ -125,3 +125,59 @@ def test_tiled_inference_sharded_over_mesh():
     with mesh:
         got = np.asarray(sharded(img))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_two_process_distributed_matches_single_process():
+    """Real 2-process jax.distributed run (VERDICT r2 #6): two workers with
+    4 virtual CPU devices each form a global 8-device mesh, each process
+    contributes its half of the global batch via global_batch_from_local,
+    and two sharded train steps run with gloo cross-process collectives.
+    The replicated loss must match the same steps run single-process on
+    8 local virtual devices."""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    # free port for the coordinator
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    worker = os.path.join(os.path.dirname(__file__), "two_process_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own 4-device flags
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(port), str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=os.path.dirname(os.path.dirname(worker)))
+        for pid in (0, 1)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{o[-3000:]}"
+    m = re.search(r"RESULT loss=([\d.]+) loss2=([\d.]+)", outs[0])
+    assert m, outs[0][-3000:]
+    loss_mp, loss2_mp = float(m.group(1)), float(m.group(2))
+
+    # single-process reference: same data, same engine, 8 local devices
+    rng = np.random.default_rng(0)
+    S, N = 32, 8
+    imgs = rng.uniform(0, 1, (N, S, S, 1)).astype(np.float32)
+    masks = (imgs > 0.5).astype(np.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    sh = NamedSharding(mesh, P("data", None, None, None))
+    engine = get_engine({"backbone": "resnet_tiny", "use_attention": False,
+                         "loss_fn": "combo"})
+    state = jax.device_get(
+        engine.init_state(jax.random.key(0), (1, S, S, 1), 1e-3, 1e-5))
+    gi, gm = jax.device_put(imgs, sh), jax.device_put(masks, sh)
+    with mesh:
+        st1, m1 = engine._train_step(state, gi, gm)
+        st2, m2 = engine._train_step(st1, gi, gm)
+    assert abs(float(m1["loss"]) - loss_mp) < 1e-4, \
+        (float(m1["loss"]), loss_mp)
+    assert abs(float(m2["loss"]) - loss2_mp) < 1e-4, \
+        (float(m2["loss"]), loss2_mp)
