@@ -13,10 +13,54 @@ Returns the 5 skip features (x1..x5) at strides /2, /4, /8, /16, /32.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Any, List, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+class ConvParams(nn.Module):
+    """Parameter-only leaf: declares the exact (kernel[, bias]) of the
+    ``nn.Conv``/``nn.ConvTranspose`` it replaces — same names, shapes,
+    initializers and param_dtype — and returns them for call-site math.
+    Lets callers reparameterize an op (head fusion, s2d stem) while the
+    param tree (and checkpoints) stay bit-identical to the plain-module
+    form."""
+    kernel_size: Sequence[int]
+    features: int
+    use_bias: bool = True
+    bias_init: Any = None
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        from flax.linen.linear import default_kernel_init
+        kernel = self.param(
+            "kernel", default_kernel_init,
+            (*self.kernel_size, in_features, self.features), jnp.float32)
+        if not self.use_bias:
+            return kernel
+        bias = self.param(
+            "bias",
+            self.bias_init if self.bias_init is not None
+            else nn.initializers.zeros_init(),
+            (self.features,), jnp.float32)
+        return kernel, bias
+
+
+def _stem_s2d_map() -> "np.ndarray":
+    """Constant mapping M (7,7,4,4,4): the exact reparameterization of a
+    7×7/s2 Cin=1 conv kernel into the equivalent 4×4/s1 kernel over the
+    2×2 space-to-depth input (phase channel p = 2·du+dv, conv padding
+    (2,1)): w4[a,b,p,c] = Σ_{u,v} M[u,v,a,b,p] · w7[u,v,0,c]."""
+    import numpy as np
+    m = np.zeros((7, 7, 4, 4, 4), np.float32)
+    for u in range(7):
+        for v in range(7):
+            a, du = (u - 3) // 2 + 2, (u - 3) % 2
+            b, dv = (v - 3) // 2 + 2, (v - 3) % 2
+            m[u, v, a, b, du * 2 + dv] = 1.0
+    return m
 
 
 def _bn(train: bool, dtype, name=None):
@@ -85,15 +129,42 @@ class Bottleneck(nn.Module):
 
 class ResNetEncoder(nn.Module):
     """ResNet encoder with grayscale stem; yields x1..x5
-    (advanced_models.py:72-130, forward at :266-276)."""
+    (advanced_models.py:72-130, forward at :266-276).
+
+    ``stem_s2d``: inference-path stem rewrite — the 7×7/s2 Cin=1 conv runs
+    at 8.3 TF/s on v5e (the MXU sees K=49, and the Cin=1 input wastes
+    127/128 lanes); re-expressed over the 2×2 space-to-depth input as a
+    4×4/s1 Cin=4 conv (zero-padded to Cin=8, the measured-best variant)
+    with an exact weight reparameterization it runs 1.16× faster
+    (tools/stem_bench.py, PERF.md round 3). Same params; exact same math
+    up to fp reassociation. Engages only when train=False and H, W are
+    even."""
     block_counts: Sequence[int]  # (3,4,6,3) for both 34 and 50
     bottleneck: bool
     dtype: jnp.dtype = jnp.float32
+    stem_s2d: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool) -> List[jnp.ndarray]:
-        x1 = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                     dtype=self.dtype, name="input_conv")(x)
+        w7 = ConvParams((7, 7), 64, use_bias=False, name="input_conv")(
+            x.shape[-1])
+        x, w7 = nn.dtypes.promote_dtype(x, w7, dtype=self.dtype)
+        if (self.stem_s2d and not train and x.shape[-1] == 1
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            m = jnp.asarray(_stem_s2d_map(), self.dtype)
+            w4 = jnp.einsum("uvabp,uvc->abpc", m, w7[:, :, 0, :])
+            w8 = jnp.concatenate([w4, jnp.zeros_like(w4)], axis=2)
+            b, h, w = x.shape[0], x.shape[1], x.shape[2]
+            xs = x.reshape(b, h // 2, 2, w // 2, 2).transpose(0, 1, 3, 2, 4)
+            xs = xs.reshape(b, h // 2, w // 2, 4)
+            xs = jnp.concatenate([xs, jnp.zeros_like(xs)], axis=-1)
+            x1 = jax.lax.conv_general_dilated(
+                xs, w8, (1, 1), [(2, 1), (2, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            x1 = jax.lax.conv_general_dilated(
+                x, w7, (2, 2), [(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         x1 = _bn(train, self.dtype, "bn1")(x1)
         x1 = nn.relu(x1)
 

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from segtpu.models.attention import AttentionGate, ChannelAttention
-from segtpu.models.backbones import BACKBONE_CHANNELS, make_encoder
+from segtpu.models.backbones import (BACKBONE_CHANNELS, ConvParams,
+                                      make_encoder)
 from segtpu.ops.resize import resize_bilinear
 
 # Decoder plan per backbone: per level (upconv out, decoder out), then the
@@ -117,30 +118,6 @@ class _UpConv2x(nn.Module):
             x, kernel, (2, 2), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return up + bias.reshape((1,) * (up.ndim - 1) + (-1,))
-
-
-class _ConvParams(nn.Module):
-    """Parameter-only leaf: declares the exact (kernel, bias) of the
-    ``nn.Conv``/``nn.ConvTranspose`` it replaces — same names, shapes,
-    initializers and param_dtype — and returns them for call-site math.
-    Lets the head compose/fuse the two linear ops while keeping the param
-    tree (and checkpoints) bit-identical to the plain-module form."""
-    kernel_size: Tuple[int, int]
-    features: int
-    bias_init: Any = None
-
-    @nn.compact
-    def __call__(self, in_features: int):
-        from flax.linen.linear import default_kernel_init
-        kernel = self.param(
-            "kernel", default_kernel_init,
-            (*self.kernel_size, in_features, self.features), jnp.float32)
-        bias = self.param(
-            "bias",
-            self.bias_init if self.bias_init is not None
-            else nn.initializers.zeros_init(),
-            (self.features,), jnp.float32)
-        return kernel, bias
 
 
 class UNetWithBackbone(nn.Module):
@@ -249,18 +226,30 @@ class UNetWithBackbone(nn.Module):
         # see PERF.md round 3. Params keep the reference tree (upconv0/
         # conv_final, same names/shapes/inits) so checkpoints are
         # unaffected; training uses the unfused two-op form.
-        w0, b0 = _ConvParams((2, 2), 16, name="upconv0")(d.shape[-1])
-        wf, bf = _ConvParams((1, 1), self.n_classes, bias_init=bias_init,
-                             name="conv_final")(16)
+        w0, b0 = ConvParams((2, 2), 16, name="upconv0")(d.shape[-1])
+        wf, bf = ConvParams((1, 1), self.n_classes, bias_init=bias_init,
+                            name="conv_final")(16)
         d, w0, b0, wf, bf = nn.dtypes.promote_dtype(
             d, w0, b0, wf, bf, dtype=self.dtype)
         if self.fuse_head and not train:
+            # contracted kernel (2,2,Cin,n), then the stride-2 transposed
+            # conv expressed as one 1×1 matmul + depth-to-space: kernel
+            # size == stride means each input pixel emits its 2×2 output
+            # block independently, so out[2i+dy, 2j+dx, c] =
+            # d[i,j,:] @ w[1-dy, 1-dx, :, c] (lax.conv_transpose applies
+            # the kernel flipped). Measured 6.5× faster than the convT
+            # form at 256²→512² Cout=1 (the convT writes a C=1
+            # lane-padded tensor; the matmul output is C=4n compact) —
+            # tools/upconv_bench.py, PERF.md round 3.
             w = jnp.einsum("abio,on->abin", w0, wf[0, 0])
             b = bf + b0 @ wf[0, 0]
-            out = jax.lax.conv_transpose(
-                d, w, (2, 2), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            out = out + b.reshape((1, 1, 1, -1))
+            n = w.shape[-1]
+            w1 = jnp.transpose(w[::-1, ::-1], (2, 0, 1, 3)).reshape(
+                d.shape[-1], 4 * n)
+            o = jnp.einsum("bhwc,cn->bhwn", d, w1)
+            bb, hh, ww = o.shape[0], o.shape[1], o.shape[2]
+            o = o.reshape(bb, hh, ww, 2, 2, n).transpose(0, 1, 3, 2, 4, 5)
+            out = o.reshape(bb, 2 * hh, 2 * ww, n) + b.reshape((1, 1, 1, -1))
             out = _center_crop_to(out, x.shape[1], x.shape[2])
         else:
             d0 = jax.lax.conv_transpose(

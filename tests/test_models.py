@@ -183,3 +183,28 @@ def test_head_fusion_parity():
                             train=False)
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_plain),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_stem_s2d_parity():
+    """The space-to-depth stem reparameterization must match the plain
+    7x7/s2 stem to fp tightness (same params, exact weight transform)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from segtpu.models.backbones import make_encoder
+
+    enc_s2d = make_encoder("resnet_tiny")
+    v = enc_s2d.init(jax.random.key(0), jnp.zeros((1, 64, 64, 1)),
+                     train=False)
+    import dataclasses
+    enc_plain = dataclasses.replace(enc_s2d, stem_s2d=False)
+    x = jax.random.normal(jax.random.key(1), (2, 64, 64, 1), jnp.float32)
+    a = enc_s2d.apply(v, x, train=False)
+    b = enc_plain.apply(v, x, train=False)
+    for fa, fb in zip(a, b):
+        np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                                   atol=2e-5, rtol=2e-5)
+    # odd spatial size falls back to the plain path (no crash)
+    x_odd = jax.random.normal(jax.random.key(2), (1, 63, 63, 1))
+    v2 = enc_s2d.init(jax.random.key(0), x_odd, train=False)
+    _ = enc_s2d.apply(v2, x_odd, train=False)
