@@ -50,41 +50,73 @@ def _reflect101_idx(i: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.where(m >= n, period - m, m)
 
 
-def _gather(img: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray,
-            border: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Integer-index gather with border handling. Returns (values, valid)."""
-    h, w = img.shape
+def _reflect101_coord(c: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Continuous BORDER_REFLECT_101 fold of float coords into [0, n-1].
+
+    Reflection is an isometry, so folding the float coordinate first and
+    sampling in-range is identical to folding each integer tap (the
+    gather formulation) — same taps, same weights."""
+    if n == 1:
+        return jnp.zeros_like(c)
+    period = float(2 * (n - 1))
+    m = jnp.abs(c) % period
+    return jnp.where(m > n - 1, period - m, m)
+
+
+def _axis_weights(coords: jnp.ndarray, n: int, border: str, nearest: bool
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(P,) float coords → ((P, n) sampling weights, (P,) valid).
+
+    Bilinear weights are the linear hat max(0, 1-|c-x|): exactly the two
+    floor/ceil taps with (1-f, f) weights. Nearest is the one-hot of
+    floor(c+0.5). Border 'reflect' folds coords (valid ≡ 1); 'constant'
+    zero-masks out-of-range coords."""
     if border == "reflect":
-        vy, vx = _reflect101_idx(yi, h), _reflect101_idx(xi, w)
-        valid = jnp.ones(yi.shape, jnp.float32)
-    else:  # constant 0
-        valid = ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)).astype(jnp.float32)
-        vy = jnp.clip(yi, 0, h - 1)
-        vx = jnp.clip(xi, 0, w - 1)
-    return img[vy, vx], valid
+        c = _reflect101_coord(coords, n)
+    else:
+        # constant-0: keep RAW coords — hat taps that fall outside the
+        # grid simply have no column, reproducing the gather form's
+        # per-tap zero contribution (cv2's partial border blending).
+        c = coords
+    grid = jax.lax.broadcasted_iota(jnp.float32, (coords.shape[0], n), 1)
+    if nearest:
+        idx = jnp.floor(c + 0.5)[:, None]
+        w = (grid == idx).astype(jnp.float32)
+    else:
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(c[:, None] - grid))
+    return w, jnp.ones(coords.shape, jnp.float32)
+
+
+def _sample_matmul(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
+                   border: str, nearest: bool) -> jnp.ndarray:
+    """Resample ``img`` (H, W) at float coords via two MXU contractions.
+
+    TPU-first replacement for the per-pixel 2-D gather (XLA lowers
+    batched point gathers to ~2 GB/s scalar loops — measured 232 ms for
+    one warp at 128²/bs256, tools/augment_bench.py): since bilinear
+    weights separate as hat(y)·hat(x) (and nearest as onehot·onehot),
+    sampling is  out = (Wx · imgᵀ) ⊙-reduce Wy  — two dense matmuls the
+    MXU eats. Exact same taps/weights as the gather form.
+    """
+    h, w = img.shape
+    shape = ys.shape
+    ysf, xsf = ys.reshape(-1), xs.reshape(-1)
+    wy, vy = _axis_weights(ysf, h, border, nearest)   # (P, H)
+    wx, vx = _axis_weights(xsf, w, border, nearest)   # (P, W)
+    t = wx @ img.T                                    # (P, H): Σ_x img[y,x]·wx
+    out = jnp.sum(t * wy, axis=1) * vy * vx           # (P,)
+    return out.reshape(shape)
 
 
 def sample_bilinear(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
                     border: str = "reflect") -> jnp.ndarray:
     """Bilinear sample img at float coords (ys, xs)."""
-    y0 = jnp.floor(ys).astype(jnp.int32)
-    x0 = jnp.floor(xs).astype(jnp.int32)
-    fy = ys - y0
-    fx = xs - x0
-    acc = jnp.zeros(ys.shape, jnp.float32)
-    for dy, wy in ((0, 1 - fy), (1, fy)):
-        for dx, wx in ((0, 1 - fx), (1, fx)):
-            v, ok = _gather(img, y0 + dy, x0 + dx, border)
-            acc = acc + wy * wx * v * ok
-    return acc
+    return _sample_matmul(img, ys, xs, border, nearest=False)
 
 
 def sample_nearest(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
                    border: str = "reflect") -> jnp.ndarray:
-    yi = jnp.floor(ys + 0.5).astype(jnp.int32)
-    xi = jnp.floor(xs + 0.5).astype(jnp.int32)
-    v, ok = _gather(img, yi, xi, border)
-    return v * ok
+    return _sample_matmul(img, ys, xs, border, nearest=True)
 
 
 def _warp_pair(pair: Pair, ys: jnp.ndarray, xs: jnp.ndarray,

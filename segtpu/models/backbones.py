@@ -143,13 +143,17 @@ class ResNetEncoder(nn.Module):
     bottleneck: bool
     dtype: jnp.dtype = jnp.float32
     stem_s2d: bool = True
+    # engage stem_s2d under train=True as well (see UNetWithBackbone
+    # .reparam_in_train; exact linear reparam, fp-reassociation-only drift)
+    reparam_in_train: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool) -> List[jnp.ndarray]:
         w7 = ConvParams((7, 7), 64, use_bias=False, name="input_conv")(
             x.shape[-1])
         x, w7 = nn.dtypes.promote_dtype(x, w7, dtype=self.dtype)
-        if (self.stem_s2d and not train and x.shape[-1] == 1
+        if (self.stem_s2d and (not train or self.reparam_in_train)
+                and x.shape[-1] == 1
                 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
             m = jnp.asarray(_stem_s2d_map(), self.dtype)
             w4 = jnp.einsum("uvabp,uvc->abpc", m, w7[:, :, 0, :])
@@ -269,16 +273,20 @@ BACKBONE_CHANNELS = {
 }
 
 
-def make_encoder(backbone: str, dtype=jnp.float32) -> nn.Module:
+def make_encoder(backbone: str, dtype=jnp.float32,
+                 reparam_in_train: bool = False) -> nn.Module:
     if backbone == "resnet34":
         return ResNetEncoder((3, 4, 6, 3), bottleneck=False, dtype=dtype,
+                             reparam_in_train=reparam_in_train,
                              name="encoder")
     if backbone == "resnet50":
         return ResNetEncoder((3, 4, 6, 3), bottleneck=True, dtype=dtype,
+                             reparam_in_train=reparam_in_train,
                              name="encoder")
     if backbone == "densenet121":
         return DenseNetEncoder(dtype=dtype, name="encoder")
     if backbone == "resnet_tiny":
         return ResNetEncoder((1, 1, 1, 1), bottleneck=False, dtype=dtype,
+                             reparam_in_train=reparam_in_train,
                              name="encoder")
     raise ValueError(f"Unknown backbone: {backbone}")

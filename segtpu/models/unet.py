@@ -165,14 +165,21 @@ class UNetWithBackbone(nn.Module):
     # reassociation): contract upconv0's (2,2,Cin,16) transposed-conv
     # kernel with conv_final's (1,1,16,n) kernel into one (2,2,Cin,n)
     # transposed conv, skipping the full-resolution 16-channel
-    # intermediate. Engages only when train=False.
+    # intermediate. Engages only when train=False (or reparam_in_train).
     fuse_head: bool = True
+    # Apply the exact linear reparameterizations (fuse_head, stem_s2d) in
+    # TRAINING too: gradients/updates are mathematically identical (linear
+    # weight-space rewrites), numerics differ only by fp reassociation.
+    # Off by default (reference-parity training numerics).
+    reparam_in_train: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  return_features: bool = False):
         plan = _DECODER_PLAN[self.backbone]
-        feats = make_encoder(self.backbone, dtype=self.dtype)(x, train)
+        feats = make_encoder(self.backbone, dtype=self.dtype,
+                     reparam_in_train=self.reparam_in_train)(
+                         x, train)
         x1, x2, x3, x4, x5 = feats
 
         d = x5
@@ -231,7 +238,7 @@ class UNetWithBackbone(nn.Module):
                             name="conv_final")(16)
         d, w0, b0, wf, bf = nn.dtypes.promote_dtype(
             d, w0, b0, wf, bf, dtype=self.dtype)
-        if self.fuse_head and not train:
+        if self.fuse_head and (not train or self.reparam_in_train):
             # contracted kernel (2,2,Cin,n), then the stride-2 transposed
             # conv expressed as one 1×1 matmul + depth-to-space: kernel
             # size == stride means each input pixel emits its 2×2 output
