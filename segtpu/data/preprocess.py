@@ -22,7 +22,7 @@ operating on canonical uint8 frames.
 from __future__ import annotations
 
 from functools import lru_cache, partial
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -61,59 +61,128 @@ def _resize_img_fn(raw_hw: Tuple[int, int], out_hw: Tuple[int, int]):
     return f
 
 
+# Decode chunk size for the double-buffered pipeline. One producer thread
+# runs the native decode (C, GIL released) for chunk k+1 while the main
+# thread dispatches chunk k's device resize — decode and device work
+# overlap even on this 1-core host because both sides spend their time
+# outside the GIL (C decode / relay IO waits).
+_PREFETCH_CHUNK = 64
+
+
+def _decode_resize_pipelined(image_paths: Sequence[str],
+                             mask_paths: Optional[Sequence[str]],
+                             img_size: Tuple[int, int],
+                             chunk: Optional[int]):
+    """Shared chunked decode→resize pipeline (images-only or pairs).
+
+    Producer thread: per chunk, one threaded native batch decode
+    (PIL fallback per file). Main thread: group by raw shape, dispatch the
+    jitted batched resize (async through the relay), KEEP device refs.
+    Epilogue: ONE ``jax.device_get`` over every group's output — a single
+    host↔device sync instead of one ~1 s relay RTT per shape group.
+
+    Returns (imgs_out (N,S,S) u8, masks_out or None, raw_shapes (N,2) i32).
+    """
+    import queue as _queue
+    import threading
+
+    n = len(image_paths)
+    pairs = mask_paths is not None
+    imgs_out = np.zeros((n, *img_size), np.uint8)
+    masks_out = np.zeros((n, *img_size), np.uint8) if pairs else None
+    raw_shapes = np.zeros((n, 2), np.int32)
+    if n == 0:
+        return imgs_out, masks_out, raw_shapes
+    chunk = n if not chunk or chunk <= 0 else min(chunk, n)
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=2)  # double buffer
+
+    def producer():
+        try:
+            for s in range(0, n, chunk):
+                idx = list(range(s, min(n, s + chunk)))
+                ps = [image_paths[i] for i in idx]
+                if pairs:
+                    ps += [mask_paths[i] for i in idx]
+                q.put((idx, decode_gray_batch(ps)))
+            q.put(None)
+        except BaseException as e:  # surface decode errors in the consumer
+            q.put(e)
+
+    th = threading.Thread(target=producer, daemon=True,
+                          name="segtpu-decode-prefetch")
+    th.start()
+
+    pending = []  # (np index array, device imgs, device masks | None)
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        idx, decoded = item
+        m = len(idx)
+        groups: dict = {}
+        for j, i in enumerate(idx):
+            img = decoded[j]
+            msk = decoded[m + j] if pairs else None
+            if pairs and msk.shape != img.shape:
+                # defensive: masks should match raw images
+                msk = np.array(jax.device_get(
+                    resize_nearest(jnp.asarray(msk), img.shape)))
+            raw_shapes[i] = img.shape
+            groups.setdefault(img.shape, []).append((i, img, msk))
+        for shape, items in groups.items():
+            gi = np.array([i for i, _, _ in items])
+            raw_i = np.stack([im for _, im, _ in items])
+            if pairs:
+                raw_m = np.stack([mk for _, _, mk in items])
+                ci, cm = _resize_pair_fn(shape, tuple(img_size))(
+                    jnp.asarray(raw_i), jnp.asarray(raw_m))
+            else:
+                ci = _resize_img_fn(shape, tuple(img_size))(
+                    jnp.asarray(raw_i))
+                cm = None
+            pending.append((gi, ci, cm))
+    th.join()
+
+    # one batched sync for every group
+    fetched = jax.device_get([(ci, cm) for _, ci, cm in pending])
+    for (gi, _, _), (ci, cm) in zip(pending, fetched):
+        imgs_out[gi] = np.asarray(ci)
+        if pairs:
+            masks_out[gi] = np.asarray(cm)
+    return imgs_out, masks_out, raw_shapes
+
+
 def load_canonical_images(image_paths: Sequence[str],
-                          img_size: Tuple[int, int] = (256, 256)
+                          img_size: Tuple[int, int] = (256, 256),
+                          chunk: Optional[int] = _PREFETCH_CHUNK
                           ) -> np.ndarray:
     """Images-only decode + device-resize (no masks): (N,S,S) uint8.
 
     The inference path (``Segmenter.predict``) has no masks; this avoids
     the pair loader's double decode + pointless nearest mask resize."""
-    n = len(image_paths)
-    imgs_out = np.zeros((n, *img_size), np.uint8)
-    groups = {}
-    for i, img in enumerate(decode_gray_batch(list(image_paths))):
-        groups.setdefault(img.shape, []).append((i, img))
-    for shape, items in groups.items():
-        idx = np.array([i for i, _ in items])
-        raw = np.stack([im for _, im in items])
-        f = _resize_img_fn(shape, tuple(img_size))
-        imgs_out[idx] = np.asarray(jax.device_get(f(jnp.asarray(raw))))
-    return imgs_out
+    imgs, _, _ = _decode_resize_pipelined(list(image_paths), None,
+                                          tuple(img_size), chunk)
+    return imgs
 
 
 def load_canonical(image_paths: Sequence[str], mask_paths: Sequence[str],
                    img_size: Tuple[int, int] = (256, 256),
-                   return_raw_shapes: bool = False):
+                   return_raw_shapes: bool = False,
+                   chunk: Optional[int] = _PREFETCH_CHUNK):
     """Decode + device-resize all pairs to canonical uint8 frames.
 
     Returns (images (N,S,S) uint8, masks (N,S,S) uint8 binary 0/1), host
-    numpy (small). Handles mixed raw shapes by grouping. With
+    numpy (small). Handles mixed raw shapes by grouping; decode and device
+    resize run double-buffered in ``chunk``-file chunks (``chunk=None``
+    decodes everything in one batch — the pre-pipeline behavior). With
     ``return_raw_shapes`` also returns the per-image raw (H, W) as an
     (N, 2) int32 array — used by raw-frame-aware augmentation
     (segtpu.data.augment.RAW_FRAME_AWARE)."""
-    n = len(image_paths)
-    imgs_out = np.zeros((n, *img_size), np.uint8)
-    masks_out = np.zeros((n, *img_size), np.uint8)
-    raw_shapes = np.zeros((n, 2), np.int32)
-
-    # one threaded native batch decode for all files (PIL fallback per file)
-    decoded = decode_gray_batch(list(image_paths) + list(mask_paths))
-    groups = {}
-    for i in range(n):
-        img, msk = decoded[i], decoded[n + i]
-        if msk.shape != img.shape:  # defensive: masks should match raw images
-            msk = np.array(jax.device_get(resize_nearest(jnp.asarray(msk), img.shape)))
-        raw_shapes[i] = img.shape
-        groups.setdefault(img.shape, []).append((i, img, msk))
-
-    for shape, items in groups.items():
-        idx = np.array([i for i, _, _ in items])
-        raw_i = np.stack([im for _, im, _ in items])
-        raw_m = np.stack([m for _, _, m in items])
-        f = _resize_pair_fn(shape, tuple(img_size))
-        ci, cm = f(jnp.asarray(raw_i), jnp.asarray(raw_m))
-        imgs_out[idx] = np.asarray(jax.device_get(ci))
-        masks_out[idx] = np.asarray(jax.device_get(cm))
+    imgs_out, masks_out, raw_shapes = _decode_resize_pipelined(
+        list(image_paths), list(mask_paths), tuple(img_size), chunk)
     if return_raw_shapes:
         return imgs_out, masks_out, raw_shapes
     return imgs_out, masks_out

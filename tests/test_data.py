@@ -210,3 +210,37 @@ def test_load_canonical_images_matches_pair_loader(dataset_dir):
     ci, _ = load_canonical(data["image_paths"], data["mask_paths"], (32, 32))
     ci2 = load_canonical_images(data["image_paths"], (32, 32))
     np.testing.assert_array_equal(ci, ci2)
+
+
+def test_load_canonical_chunked_matches_single_shot(tmp_path):
+    """The double-buffered chunked pipeline must be byte-identical to the
+    single-shot path, incl. mixed raw shapes straddling chunk boundaries
+    and the raw-shape side output."""
+    from PIL import Image
+
+    from segtpu.data.io import clear_decode_cache
+    from segtpu.data.preprocess import load_canonical
+
+    rng = np.random.default_rng(7)
+    shapes = [(40, 56), (40, 56), (64, 48), (40, 56), (64, 48), (96, 80),
+              (40, 56)]
+    imgs, masks = [], []
+    for i, (h, w) in enumerate(shapes):
+        im = rng.integers(0, 255, (h, w), dtype=np.uint8)
+        mk = (im > 127).astype(np.uint8) * 255
+        pi, pm = str(tmp_path / f"i{i}.tif"), str(tmp_path / f"i{i}_GT.tif")
+        Image.fromarray(im).save(pi)
+        Image.fromarray(mk).save(pm)
+        imgs.append(pi)
+        masks.append(pm)
+
+    clear_decode_cache()
+    ci0, cm0, rs0 = load_canonical(imgs, masks, (32, 32),
+                                   return_raw_shapes=True, chunk=None)
+    clear_decode_cache()
+    ci1, cm1, rs1 = load_canonical(imgs, masks, (32, 32),
+                                   return_raw_shapes=True, chunk=2)
+    np.testing.assert_array_equal(ci0, ci1)
+    np.testing.assert_array_equal(cm0, cm1)
+    np.testing.assert_array_equal(rs0, rs1)
+    np.testing.assert_array_equal(rs0, np.array(shapes))
