@@ -167,6 +167,19 @@ class UNetWithBackbone(nn.Module):
     # transposed conv, skipping the full-resolution 16-channel
     # intermediate. Engages only when train=False (or reparam_in_train).
     fuse_head: bool = True
+    # Inference-path fused attention gates: fold the gate's three
+    # inference BatchNorms into the 1×1-conv weights and run the whole
+    # gate (two matmuls + relu + psi matvec + sigmoid + multiply) as ONE
+    # Pallas pass. Exact up to fp reassociation; param tree unchanged.
+    #
+    # MEASURED NEGATIVE RESULT (v5e, PERF.md round 3): the kernel itself
+    # hits ~4 ms at the level-1 shape (vs ~10 ms XLA) when operands are
+    # already lane-packed, but ANY Pallas kernel consuming the model's
+    # thin-channel NHWC activations pays a forced relayout at the
+    # custom-call boundary (~8-10 ms per 512²·C∈{32,64} tensor) — e2e
+    # 64.3 → 92.4 ms at bs128. Default therefore False; kernel + parity
+    # tests kept as the evidence base (tests/test_kernels.py).
+    fuse_gate: bool = False
     # Apply the exact linear reparameterizations (fuse_head, stem_s2d) in
     # TRAINING too: gradients/updates are mathematically identical (linear
     # weight-space rewrites), numerics differ only by fp reassociation.
@@ -202,7 +215,8 @@ class UNetWithBackbone(nn.Module):
                 d = upconv(d)
                 skip_att = AttentionGate(plan["att_int"][i], dtype=self.dtype,
                                          name=f"attention{lvl}")(
-                                             g=d, x=skip, train=train)
+                                             g=d, x=skip, train=train,
+                                             fused=self.fuse_gate)
                 # concat order = (skip, up), matching
                 # torch.cat((x_att, d), dim=1) at advanced_models.py:288
                 cat = jnp.concatenate([skip_att, d], axis=-1)

@@ -333,14 +333,15 @@ def get_engine(config: Dict, criterion: Optional[Callable] = None
                  config.get("final_bias_prior"),
                  str(config.get("fuse", "none")),
                  str(config.get("remat", "none")),
-                 bool(config.get("reparam_in_train", False)))
+                 bool(config.get("reparam_in_train", False)),
+                 bool(config.get("fuse_gate", False)))
 
     def build_model():
         return UNetWithBackbone(
             n_classes=model_key[2], backbone=model_key[0],
             use_attention=model_key[1], dtype=jnp.dtype(model_key[3]),
             final_bias_prior=model_key[4], fuse=model_key[5],
-            reparam_in_train=model_key[7])
+            reparam_in_train=model_key[7], fuse_gate=model_key[8])
 
     multiclass = model_key[2] > 1
     if criterion is not None:

@@ -76,3 +76,71 @@ def test_fold_bn_equivalence(rng):
     wf, bf = fold_bn(w, b, sc, sh, mean, var)
     got = conv(x, wf) + bf
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_attention_gate_fused_matches_composition(rng):
+    """One-pass Pallas gate == the plain jnp composition (interpret mode
+    engages automatically off-TPU)."""
+    from segtpu.kernels.attention_gate import attention_gate_fused
+
+    cg, cx, f = 8, 12, 8
+    g = jnp.asarray(rng.normal(size=(2, 8, 16, cg)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, cx)).astype(np.float32))
+    ag = jnp.asarray(rng.normal(size=(cg, f)).astype(np.float32) * 0.3)
+    ax = jnp.asarray(rng.normal(size=(cx, f)).astype(np.float32) * 0.3)
+    bh = jnp.asarray(rng.normal(size=(f,)).astype(np.float32))
+    ap = jnp.asarray(rng.normal(size=(f,)).astype(np.float32))
+    bp = jnp.float32(0.17)
+
+    h = jnp.maximum(g @ ag + x @ ax + bh, 0.0)
+    p = h @ ap[:, None] + bp
+    ref = x * jax.nn.sigmoid(p)
+    got = attention_gate_fused(g, x, ag, ax, bh, ap, bp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_attention_gate_module_fused_parity(rng):
+    """AttentionGate(fused=True) == unfused module at inference, with
+    non-trivial BN running stats, and the param/batch_stats trees are
+    identical."""
+    from segtpu.models.attention import AttentionGate
+
+    gate = AttentionGate(f_int=8)
+    g = jnp.asarray(rng.normal(size=(2, 8, 8, 8)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 12)).astype(np.float32))
+    v0 = gate.init(jax.random.key(0), g, x, train=False, fused=False)
+    v1 = gate.init(jax.random.key(0), g, x, train=False, fused=True)
+    assert jax.tree.structure(v0) == jax.tree.structure(v1)
+    for a, b in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # randomize params + running stats to exercise the BN fold
+    leaves, treedef = jax.tree.flatten(v0)
+    keys = jax.random.split(jax.random.key(7), len(leaves))
+    leaves = [jnp.abs(jax.random.normal(k, l.shape, l.dtype)) + 0.1
+              for k, l in zip(keys, leaves)]
+    v = jax.tree.unflatten(treedef, leaves)
+
+    ref = gate.apply(v, g, x, train=False, fused=False)
+    got = gate.apply(v, g, x, train=False, fused=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_unet_fuse_gate_model_parity(rng):
+    """Whole-model inference parity: fuse_gate=True vs False (resnet_tiny,
+    attention on), shared variables."""
+    from segtpu.models.unet import UNetWithBackbone
+
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 1)).astype(np.float32))
+    m0 = UNetWithBackbone(backbone="resnet_tiny", use_attention=True,
+                          fuse_gate=False)
+    m1 = UNetWithBackbone(backbone="resnet_tiny", use_attention=True,
+                          fuse_gate=True)
+    v = m0.init(jax.random.key(0), x, train=False)
+    assert jax.tree.structure(v) == jax.tree.structure(
+        m1.init(jax.random.key(0), x, train=False))
+    ref = m0.apply(v, x, train=False)
+    got = m1.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
