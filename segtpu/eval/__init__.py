@@ -5,3 +5,7 @@ from segtpu.eval.cross_validation import (
     quick_cv,
     quick_model_comparison,
 )
+from segtpu.eval.fold_parallel import (
+    cv_train_folds_parallel,
+    train_folds_parallel,
+)

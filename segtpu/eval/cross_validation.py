@@ -39,7 +39,8 @@ class CrossValidator:
     def __init__(self, data_dir: str = "manual_labels", image_type: str = "W",
                  n_splits: int = 5, random_state: int = 42,
                  augmentations_per_image: int = 3, verbose: bool = True,
-                 resume_dir: Optional[str] = None):
+                 resume_dir: Optional[str] = None,
+                 fold_parallel: bool = False):
         self.n_splits = n_splits
         self.random_state = random_state
         self.augmentations_per_image = augmentations_per_image
@@ -48,6 +49,10 @@ class CrossValidator:
         # metrics are persisted as JSON and a restarted run skips straight
         # past them (folds are deterministic given the same seed).
         self.resume_dir = resume_dir
+        # TPU-native fold parallelism: advance all K fold trainings per
+        # device dispatch via vmap (segtpu/eval/fold_parallel.py) instead
+        # of the reference's sequential loop (cross_validation.py:77-124).
+        self.fold_parallel = fold_parallel
 
         self.data = load_original_data(data_dir, image_type)
         self.image_paths = self.data["image_paths"]
@@ -129,9 +134,75 @@ class CrossValidator:
         os.makedirs(self.resume_dir, exist_ok=True)
         return os.path.join(self.resume_dir, f"{name}_fold{fold_idx}.json")
 
+    def _run_folds_parallel(self, config: Dict, cv_folds
+                            ) -> Tuple[List, Dict]:
+        """Fold-parallel `_run_folds`: cached (resumed) folds are loaded,
+        the rest train simultaneously as ONE stacked vmapped program per
+        size group (fold_parallel.py); result/checkpoint schema identical
+        to the sequential path."""
+        import json
+        import os
+        from segtpu.eval.fold_parallel import cv_train_folds_parallel
+
+        img_size = tuple(config.get("img_size", (128, 128)))
+        ci, cm = self._canonical(img_size)
+        cv_config = dict(config)
+        cv_config["img_size"] = img_size
+        cv_config["seed"] = int(config.get("seed", 0))
+
+        results_by_fold: List[Optional[Dict]] = [None] * len(cv_folds)
+        pending, pending_ids = [], []
+        for fold_idx, (tr, va) in enumerate(cv_folds):
+            ckpt = self._fold_ckpt_path(config, fold_idx)
+            if ckpt and os.path.exists(ckpt):
+                with open(ckpt) as f:
+                    results_by_fold[fold_idx] = json.load(f)
+                if self.verbose:
+                    print(f"  Fold {fold_idx + 1}/{self.n_splits}: resumed "
+                          f"(IoU: {results_by_fold[fold_idx]['iou']:.4f})")
+            else:
+                pending.append((tr, va))
+                pending_ids.append(fold_idx)
+
+        if pending:
+            t0 = time.time()
+            outs = cv_train_folds_parallel(
+                ci, cm, pending, cv_config,
+                augmentations_per_image=self.augmentations_per_image,
+                fold_ids=pending_ids)
+            elapsed = time.time() - t0
+            for fold_idx, res in zip(pending_ids, outs):
+                vm = dict(res["final_val_metrics"])
+                vm["training_time"] = elapsed / len(pending)
+                results_by_fold[fold_idx] = vm
+                ckpt = self._fold_ckpt_path(config, fold_idx)
+                if ckpt:
+                    with open(ckpt, "w") as f:
+                        json.dump({k: float(v) for k, v in vm.items()}, f)
+            if self.verbose:
+                ious = " ".join(
+                    f"{results_by_fold[i]['iou']:.4f}" for i in pending_ids)
+                print(f"  Folds {[i + 1 for i in pending_ids]} trained "
+                      f"in parallel ({elapsed:.1f}s): IoU {ious}")
+
+        fold_results = []
+        all_metrics = defaultdict(list)
+        for vm in results_by_fold:
+            fold_results.append(vm)
+            for metric, value in vm.items():
+                if metric != "training_time":
+                    all_metrics[metric].append(value)
+        cv_summary = {}
+        for metric, values in all_metrics.items():
+            cv_summary[f"{metric}_mean"] = float(np.mean(values))
+            cv_summary[f"{metric}_std"] = float(np.std(values))
+        return fold_results, cv_summary
+
     def _run_folds(self, model_class, config: Dict, cv_folds) -> Tuple[List, Dict]:
         import json
         import os
+        if self.fold_parallel:
+            return self._run_folds_parallel(config, cv_folds)
         fold_results = []
         all_metrics = defaultdict(list)
         for fold_idx, (tr, va) in enumerate(cv_folds):

@@ -278,6 +278,78 @@ class TrainEngine:
         vals = jax.device_get(self._eval_totals(state, loader)) / loader.n
         return dict(zip(METRIC_KEYS, map(float, vals)))
 
+    # ------------------------------------------------------ fold-parallel
+
+    def _fold_epoch_fn(self, n: int, nv: int, b: int):
+        """Build (and cache) the jitted, fold-vmapped one-epoch program for
+        train size ``n`` / val size ``nv`` / batch ``b``.
+
+        One fold's epoch — shuffle, scan-train, remainder step, eval pass —
+        exactly mirrors ``run_train_and_eval_epoch``'s device work; ``vmap``
+        lifts it over a leading fold axis so K independent trainings
+        advance one epoch in ONE dispatch. The bucketing-pad ``valid``
+        flags are trace-time constants shared by every fold (equal fold
+        sizes are a precondition), so the scan's ``lax.cond`` stays a real
+        branch under vmap instead of select-both-sides."""
+        cache = getattr(self, "_fold_epoch_cache", None)
+        if cache is None:
+            cache = self._fold_epoch_cache = {}
+        key = (n, nv, b)
+        if key in cache:
+            return cache[key]
+        nf, r = divmod(n, b)
+        nfv, rv = divmod(nv, b)
+
+        def one_fold(state, ti, tm, vi, vm, key):
+            perm = jax.random.permutation(key, n)
+            ti = jnp.take(ti, perm, axis=0)
+            tm = jnp.take(tm, perm, axis=0)
+            totals = jnp.zeros(len(METRIC_KEYS))
+            if nf:
+                fi = ti[: nf * b].reshape(nf, b, *ti.shape[1:])
+                fm = tm[: nf * b].reshape(nf, b, *tm.shape[1:])
+                fi, fm, valid = self._pad_batches(fi, fm)
+                state, ms = self._train_epoch_impl(state, fi, fm, valid)
+                totals = totals + jnp.sum(ms, axis=0) * b
+            if r:
+                state, m = self._train_step_impl(state, ti[nf * b:],
+                                                 tm[nf * b:])
+                totals = totals + jnp.stack(
+                    [m[k] for k in METRIC_KEYS]) * r
+            vtot = jnp.zeros(len(METRIC_KEYS))
+            if nfv:
+                fi = vi[: nfv * b].reshape(nfv, b, *vi.shape[1:])
+                fm = vm[: nfv * b].reshape(nfv, b, *vm.shape[1:])
+                fi, fm, valid = self._pad_batches(fi, fm)
+                ms = self._eval_epoch_impl(state, fi, fm, valid)
+                vtot = vtot + jnp.sum(ms, axis=0) * b
+            if rv:
+                m = self._eval_step_impl(state, vi[nfv * b:], vm[nfv * b:])
+                vtot = vtot + jnp.stack([m[k] for k in METRIC_KEYS]) * rv
+            return state, totals, vtot
+
+        cache[key] = jax.jit(jax.vmap(one_fold))
+        return cache[key]
+
+    def run_fold_epochs(self, states: TrainState, tr_i, tr_m, va_i, va_m,
+                        lrs, keys, batch_size: int):
+        """Advance K stacked independent trainings by one epoch each, in one
+        device program (SURVEY §2.1 #15: CV folds are embarrassingly
+        parallel — the reference trains them sequentially,
+        cross_validation.py:77-124).
+
+        ``states``: TrainState with a leading fold axis K on every leaf;
+        ``tr_i/tr_m`` (K, N, S, S, 1); ``va_i/va_m`` (K, Nv, S, S, 1);
+        ``lrs`` (K,) float; ``keys`` (K,) PRNG keys (per-fold shuffle).
+        Returns (states, train_totals (K, 6), val_totals (K, 6)) — totals
+        are device arrays of sample-weighted metric sums (divide by N/Nv)."""
+        old = states.opt_state.hyperparams["learning_rate"]
+        states.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            lrs, dtype=old.dtype)
+        fn = self._fold_epoch_fn(tr_i.shape[1], va_i.shape[1],
+                                 int(batch_size))
+        return fn(states, tr_i, tr_m, va_i, va_m, keys)
+
     def run_train_and_eval_epoch(self, state: TrainState, train_loader,
                                  val_loader, lr: float,
                                  key: Optional[jax.Array] = None):
