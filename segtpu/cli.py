@@ -5,7 +5,8 @@ reference's CLI is actually broken as shipped, importing a nonexistent
 ``cell_segmentation`` package, main.py:5-17 / SURVEY.md §1; this one works).
 
 Extra flags: --data-dir, --image-type, --quick (small fixture-scale run for
-smoke testing on limited hardware).
+smoke testing on limited hardware), --fold-parallel (train each CV's folds
+as one stacked vmapped device program, segtpu/eval/fold_parallel.py).
 """
 
 from __future__ import annotations
@@ -28,9 +29,14 @@ def main(argv=None):
     parser.add_argument("--quick", action="store_true",
                         help="Reduced epochs/folds smoke-scale run")
     parser.add_argument("--save-root", type=str, default="experiments")
+    parser.add_argument("--fold-parallel", action="store_true",
+                        help="Train CV folds simultaneously as one stacked "
+                             "vmapped device program")
     args = parser.parse_args(argv)
 
     quick_overrides = {"num_epochs": 3, "n_splits": 2} if args.quick else {}
+    if args.fold_parallel:
+        quick_overrides["fold_parallel"] = True
 
     if args.experiment == "augmentation_selection":
         from segtpu.experiments.forward_selection import (
@@ -38,6 +44,7 @@ def main(argv=None):
         run_augmentation_selection_experiment(
             data_dir=args.data_dir,
             config_overrides={"image_type": args.image_type,
+                              "fold_parallel": args.fold_parallel,
                               **({"num_epochs": 3} if args.quick else {})},
             cv_folds=2 if args.quick else 5,
             max_augmentations=2 if args.quick else 10,
@@ -53,7 +60,8 @@ def main(argv=None):
         loss_main(data_dir=args.data_dir, image_type=args.image_type,
                   n_splits=2 if args.quick else 5,
                   base_overrides=quick_overrides or None,
-                  save_root=args.save_root)
+                  save_root=args.save_root,
+                  fold_parallel=args.fold_parallel)
     elif args.experiment == "model_configuration":
         from segtpu.experiments.model_configuration import main as mc_main
         mc_main(data_dir=args.data_dir, image_type=args.image_type,

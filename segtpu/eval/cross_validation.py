@@ -300,9 +300,10 @@ class ModelComparator:
     def __init__(self, data_dir: str = "manual_labels", image_type: str = "W",
                  test_size: float = 0.2, n_splits: int = 5,
                  random_state: int = 42, augmentations_per_image: int = 3,
-                 verbose: bool = True):
+                 verbose: bool = True, fold_parallel: bool = False):
         self.cv = CrossValidator(data_dir, image_type, n_splits, random_state,
-                                 augmentations_per_image, verbose)
+                                 augmentations_per_image, verbose,
+                                 fold_parallel=fold_parallel)
         self.test_size = test_size
         self.random_state = random_state
         self.verbose = verbose

@@ -106,7 +106,7 @@ def train_folds_parallel(
         engine = get_engine(config)
 
     # ---- per-fold fresh init (+ from-scratch fg-prior bias), then stack
-    auto_bias = ("final_bias_prior" not in config
+    auto_bias = (auto_bias and "final_bias_prior" not in config
                  and getattr(engine.model, "n_classes", 1) == 1)
     per_fold = []
     for k in range(K):

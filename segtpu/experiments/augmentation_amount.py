@@ -58,7 +58,8 @@ class AugmentationAmountExperiment:
                 n_splits=self.base_config.get("n_splits", 5),
                 random_state=self.base_config["random_state"],
                 augmentations_per_image=aug_amount,
-                verbose=True)
+                verbose=True,
+                fold_parallel=self.base_config.get("fold_parallel", False))
 
             cv_results = cv.cross_validate_single_model(
                 model_class=UNetWithBackbone, config=current_config)

@@ -80,11 +80,11 @@ class AugmentationSelector:
 
     # ------------------------------------------------------------ training
 
-    def _train_and_evaluate_fold(self, train_idx, val_idx,
-                                 selected_augs: List[str]) -> float:
-        """One fold: augment (5 copies/img if any transform), train with
-        early stopping, return best val IoU
-        (forward_selection_integration.py:311-404)."""
+    def _fold_data(self, train_idx, val_idx, selected_augs: List[str],
+                   verbose: bool = True):
+        """One fold's canonical uint8 arrays with the candidate set applied
+        (5 copies/img when any transform is selected,
+        forward_selection_integration.py:319)."""
         ci, cm, raw_hw = self._get_canonical()
         tr_i, tr_m = ci[train_idx], cm[train_idx]
         va_i, va_m = ci[val_idx], cm[val_idx]
@@ -100,12 +100,22 @@ class AugmentationSelector:
                 pipeline, copies=5, raw_hw=raw_hw[train_idx])
             tr_i = np.concatenate([tr_i, np.asarray(ai)])
             tr_m = np.concatenate([tr_m, np.asarray(am)])
-            print(f"      Training with {len(tr_i)} images "
-                  f"({len(train_idx)} original + "
-                  f"{len(tr_i)-len(train_idx)} augmented)")
-        else:
+            if verbose:
+                print(f"      Training with {len(tr_i)} images "
+                      f"({len(train_idx)} original + "
+                      f"{len(tr_i)-len(train_idx)} augmented)")
+        elif verbose:
             print(f"      Training with {len(tr_i)} original images "
                   f"(no augmentation)")
+        return tr_i, tr_m, va_i, va_m
+
+    def _train_and_evaluate_fold(self, train_idx, val_idx,
+                                 selected_augs: List[str]) -> float:
+        """One fold: augment (5 copies/img if any transform), train with
+        early stopping, return best val IoU
+        (forward_selection_integration.py:311-404)."""
+        tr_i, tr_m, va_i, va_m = self._fold_data(train_idx, val_idx,
+                                                 selected_augs)
 
         imgs, masks = _materialize(tr_i, tr_m)
         vimgs, vmasks = _materialize(va_i, va_m)
@@ -146,6 +156,46 @@ class AugmentationSelector:
                       f"- Best IoU: {best_iou:.4f}")
         return best_iou
 
+    def _evaluate_folds_parallel(self, folds, selected_augs: List[str]
+                                 ) -> List[float]:
+        """All CV folds trained simultaneously as stacked vmapped programs
+        (segtpu/eval/fold_parallel.py) — the selection search is
+        candidates × rounds × folds full trainings (SURVEY §3.3, the
+        reference's most compute-hungry path), and at its batch-2/128²
+        scale K folds cost about one fold's wall time. GroupKFold folds
+        of unequal size stack per size group. Same per-fold protocol as
+        the sequential path (15-epoch quick cap, threshold-0.01 plateau,
+        early stop), same init seed every fold; only the shuffle-key
+        stream differs."""
+        from segtpu.eval.fold_parallel import train_folds_parallel
+
+        arrays, groups = [], {}
+        for k, (train_idx, val_idx) in enumerate(folds):
+            tr_i, tr_m, va_i, va_m = self._fold_data(
+                np.asarray(train_idx), np.asarray(val_idx), selected_augs,
+                verbose=False)
+            a = (*_materialize(tr_i, tr_m), *_materialize(va_i, va_m))
+            arrays.append(a)
+            groups.setdefault((a[0].shape[0], a[2].shape[0]), []).append(k)
+
+        seed = self.base_config.get("seed", 42)
+        cfg = dict(self.base_config)
+        cfg.update(
+            num_epochs=(15 if self.quick_evaluation
+                        else self.base_config["num_epochs"]),
+            scheduler_threshold=0.01,
+            early_stopping_patience=3 if self.quick_evaluation else 10,
+            early_stopping_min_delta=0.01)
+
+        scores: List[float] = [0.0] * len(folds)
+        for ks in groups.values():
+            out = train_folds_parallel(
+                [arrays[k] for k in ks], cfg, seeds=[seed] * len(ks),
+                auto_bias=False)
+            for k, res in zip(ks, out):
+                scores[k] = float(res["best_iou"])
+        return scores
+
     def _evaluate_augmentation_set(self, selected_augs: List[str]) -> float:
         """Group-aware CV score for an augmentation set
         (forward_selection_integration.py:413-462)."""
@@ -155,14 +205,19 @@ class AugmentationSelector:
             print("\n  Testing: Baseline (no augmentation)")
 
         folds = group_kfold_split(self.base_names, self.cv_folds)
-        scores = []
-        for fold, (train_idx, val_idx) in enumerate(folds):
+        for train_idx, val_idx in folds:
             train_bases = {self.base_names[i] for i in train_idx}
             val_bases = {self.base_names[i] for i in val_idx}
             assert not train_bases & val_bases, "Data leakage detected!"
-            print(f"    Fold {fold + 1}/{self.cv_folds}:")
-            scores.append(self._train_and_evaluate_fold(
-                np.asarray(train_idx), np.asarray(val_idx), selected_augs))
+        if self.base_config.get("fold_parallel"):
+            scores = self._evaluate_folds_parallel(folds, selected_augs)
+        else:
+            scores = []
+            for fold, (train_idx, val_idx) in enumerate(folds):
+                print(f"    Fold {fold + 1}/{self.cv_folds}:")
+                scores.append(self._train_and_evaluate_fold(
+                    np.asarray(train_idx), np.asarray(val_idx),
+                    selected_augs))
         mean, std = float(np.mean(scores)), float(np.std(scores))
         print(f"  Result: {mean:.4f} ± {std:.4f}")
         return mean

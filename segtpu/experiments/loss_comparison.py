@@ -211,10 +211,12 @@ def main(data_dir: str = "manual_labels", image_type: str = "W",
          n_splits: int = 5, test_size: float = 0.2,
          augmentations_per_image: int = 3, random_state: int = 42,
          base_overrides: Dict = None, save_root: str = "experiments",
-         loss_filter: List[str] = None) -> Dict:
+         loss_filter: List[str] = None, fold_parallel: bool = False) -> Dict:
     """Full two-phase loss comparison
     (loss_function_cross_validation.py:261-392). ``loss_filter``
-    optionally restricts to a subset of loss names (smoke runs)."""
+    optionally restricts to a subset of loss names (smoke runs);
+    ``fold_parallel`` trains each config's CV folds as one stacked
+    vmapped program (segtpu/eval/fold_parallel.py)."""
     ts = timestamp()
     save_dir = os.path.join(save_root, f"loss_comparison_{ts}")
     os.makedirs(save_dir, exist_ok=True)
@@ -236,7 +238,8 @@ def main(data_dir: str = "manual_labels", image_type: str = "W",
     comparator = ModelComparator(
         data_dir=data_dir, image_type=image_type, test_size=test_size,
         n_splits=n_splits, random_state=random_state,
-        augmentations_per_image=augmentations_per_image, verbose=True)
+        augmentations_per_image=augmentations_per_image, verbose=True,
+        fold_parallel=fold_parallel)
 
     cv_results = comparator.run_cv_comparison(model_configs)
     save_results(save_dir, "cv_results.json",

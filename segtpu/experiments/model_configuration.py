@@ -45,7 +45,8 @@ class ModelConfigurationExperiment:
             random_state=self.base_config.get("random_state", 42),
             augmentations_per_image=self.base_config.get(
                 "augmentations_per_image", 3),
-            verbose=True)
+            verbose=True,
+            fold_parallel=self.base_config.get("fold_parallel", False))
 
         print(f"\n{'='*50}\nPHASE 1: CROSS-VALIDATION COMPARISON\n{'='*50}")
         cv_results = comparator.run_cv_comparison(model_config_tuples)

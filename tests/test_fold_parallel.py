@@ -121,6 +121,32 @@ def test_early_stop_per_fold(canonical):
         assert r["final_val_metrics"] == r["val_metrics"][-1]
 
 
+def test_forward_selection_fold_parallel(tmp_path, monkeypatch):
+    """Forward selection with fold_parallel=True completes the greedy
+    search on the fixture and writes the same result schema (the parallel
+    path differs from sequential only in the shuffle-key stream)."""
+    from segtpu.data.io import make_synthetic_dataset
+    from segtpu.experiments import forward_selection as fs
+
+    data_dir = make_synthetic_dataset(str(tmp_path), n_images=8,
+                                      image_type="W")
+    monkeypatch.setattr(
+        fs, "AUGMENTATION_CANDIDATES",
+        {k: v for k, v in fs.AUGMENTATION_CANDIDATES.items()
+         if k in ("horizontal_flip",)})
+    results, pipeline = fs.run_augmentation_selection_experiment(
+        data_dir=data_dir,
+        config_overrides={"backbone": "resnet34", "use_attention": False,
+                          "batch_size": 4, "img_size": (32, 32),
+                          "num_epochs": 1, "image_type": "W",
+                          "loss_fn": "focal", "fold_parallel": True},
+        max_augmentations=1, cv_folds=2, quick_evaluation=True,
+        save_root=str(tmp_path))
+    assert "selected_augmentations" in results
+    assert results["baseline_score"] >= 0.0
+    assert callable(pipeline)
+
+
 def test_cross_validator_fold_parallel(tmp_path):
     """CrossValidator(fold_parallel=True) end-to-end equals the sequential
     CrossValidator on the same synthetic dataset and folds."""
