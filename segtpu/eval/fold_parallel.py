@@ -30,7 +30,6 @@ fold-parallel sweep also divides the per-epoch host overhead by K.
 
 from __future__ import annotations
 
-import math
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -40,6 +39,26 @@ import numpy as np
 
 from segtpu.train.engine import METRIC_KEYS, TrainEngine, TrainState, get_engine
 from segtpu.train.optim import EarlyStopping, ReduceLROnPlateau
+
+
+def shard_folds(states: TrainState, arrays: Sequence[jnp.ndarray], mesh,
+                axis: str = "data"):
+    """Lay the stacked fold axis out across a device mesh: fold k's weights
+    AND data live on device k % ndev, so the vmapped epoch program runs
+    K/ndev folds per chip with ZERO collectives — CV folds are
+    embarrassingly parallel (SURVEY §2.1 #15), which on a TPU slice means
+    fold-parallelism IS the multi-chip strategy for experiment sweeps
+    (each fold's batch-4 step is far too small to data-parallelize).
+
+    Requires K % mesh.shape[axis] == 0. Returns (states, arrays) with
+    every leaf/array sharded on its leading (fold) axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def lead(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1)))))
+
+    return (jax.tree.map(lead, states), [lead(a) for a in arrays])
 
 
 def _stack_states(states: Sequence[TrainState]) -> TrainState:
@@ -53,12 +72,14 @@ def _index_state(states: TrainState, k: int) -> TrainState:
 def _fold_bias_prior(state: TrainState, masks: jnp.ndarray) -> TrainState:
     """Per-fold analog of `train_model`'s from-scratch foreground-prior
     final-bias init (segtpu/train/loop.py:64-103): bias = logit(fg ratio)
-    of THIS fold's (augmented) training masks."""
-    p = float(np.clip(float(jnp.mean(masks)), 1e-4, 1.0 - 1e-4))
-    b = math.log(p / (1.0 - p))
+    of THIS fold's (augmented) training masks. Computed entirely on
+    device — a host fetch here costs a relay round-trip per fold."""
     try:
         cf = dict(state.params["conv_final"])
-        cf["bias"] = jnp.full_like(cf["bias"], b)
+        p = jnp.clip(jnp.mean(masks), 1e-4, 1.0 - 1e-4)
+        b = jnp.log(p / (1.0 - p))
+        cf["bias"] = jnp.broadcast_to(b, cf["bias"].shape).astype(
+            cf["bias"].dtype)
         params = dict(state.params)
         params["conv_final"] = cf
     except (KeyError, TypeError):
@@ -78,7 +99,9 @@ def train_folds_parallel(
                                     jnp.ndarray, jnp.ndarray]],
         config: Dict, engine: Optional[TrainEngine] = None,
         seeds: Optional[Sequence[int]] = None,
-        auto_bias: bool = True) -> List[Dict]:
+        auto_bias: bool = True, mesh=None,
+        strategy: str = "stream",
+        devices: Optional[Sequence] = None) -> List[Dict]:
     """Train K independent folds simultaneously; returns one
     `train_model`-schema result dict per fold (train.py:115-244 contract:
     metric histories, lr_history, best_iou/epoch, best_model_state, final
@@ -90,7 +113,22 @@ def train_folds_parallel(
     does). ``seeds``: per-fold init/shuffle seeds (default
     `config.seed + 1000*fold_idx`). ``auto_bias=False`` disables the
     from-scratch fg-prior bias for callers whose sequential path never
-    applies it (forward selection trains through the raw engine)."""
+    applies it (forward selection trains through the raw engine).
+
+    ``strategy``:
+    - ``"stream"`` (default): round-robin ASYNC dispatch — each fold's
+      epoch is the plain single-fold program enqueued back-to-back;
+      ONE batched host fetch per epoch covers every fold, and folds
+      that early-stop genuinely stop costing compute. This is the
+      single-chip winner: vmapping over per-fold WEIGHTS turns every
+      conv into a grouped conv, measured 6.3× one fold's epoch instead
+      of ~5× cheaper dispatch (PERF.md round 3). With ``devices`` (a
+      list of jax devices) fold k lives on devices[k % ndev] — true
+      multi-chip fold parallelism with zero collectives.
+    - ``"vmap"``: all K folds stacked on a leading axis, one fused
+      program per epoch. ``mesh`` (a `jax.sharding.Mesh`) shards the
+      stack across its first axis (K must divide evenly); implies vmap.
+    """
     config = dict(config or {})
     K = len(fold_arrays)
     img_size = tuple(config.get("img_size", (256, 256)))
@@ -101,11 +139,16 @@ def train_folds_parallel(
     base_seed = int(config.get("seed", 0))
     if seeds is None:
         seeds = [base_seed + 1000 * k for k in range(K)]
+    strategy = config.get("fold_parallel_strategy", strategy)
+    if mesh is not None:
+        strategy = "vmap"
+    if strategy not in ("stream", "vmap"):
+        raise ValueError(f"unknown fold-parallel strategy {strategy!r}")
 
     if engine is None:
         engine = get_engine(config)
 
-    # ---- per-fold fresh init (+ from-scratch fg-prior bias), then stack
+    # ---- per-fold fresh init (+ from-scratch fg-prior bias)
     auto_bias = (auto_bias and "final_bias_prior" not in config
                  and getattr(engine.model, "n_classes", 1) == 1)
     per_fold = []
@@ -115,14 +158,36 @@ def train_folds_parallel(
         if auto_bias:
             st = _fold_bias_prior(st, fold_arrays[k][1])
         per_fold.append(st)
-    states = _stack_states(per_fold)
-    del per_fold
 
-    tr_i = jnp.stack([f[0] for f in fold_arrays])
-    tr_m = jnp.stack([f[1] for f in fold_arrays])
-    va_i = jnp.stack([f[2] for f in fold_arrays])
-    va_m = jnp.stack([f[3] for f in fold_arrays])
-    n, nv = tr_i.shape[1], va_i.shape[1]
+    if strategy == "vmap":
+        states = _stack_states(per_fold)
+        del per_fold
+        tr_i = jnp.stack([f[0] for f in fold_arrays])
+        tr_m = jnp.stack([f[1] for f in fold_arrays])
+        va_i = jnp.stack([f[2] for f in fold_arrays])
+        va_m = jnp.stack([f[3] for f in fold_arrays])
+        if mesh is not None:
+            axis = mesh.axis_names[0]
+            if K % mesh.shape[axis]:
+                raise ValueError(
+                    f"fold count {K} must divide evenly across mesh axis "
+                    f"'{axis}' of size {mesh.shape[axis]}")
+            states, (tr_i, tr_m, va_i, va_m) = shard_folds(
+                states, (tr_i, tr_m, va_i, va_m), mesh, axis)
+        n, nv = tr_i.shape[1], va_i.shape[1]
+    else:
+        states_l = per_fold
+        arrays = [tuple(map(jnp.asarray, f)) for f in fold_arrays]
+        if devices:
+            states_l = [jax.device_put(s, devices[k % len(devices)])
+                        for k, s in enumerate(states_l)]
+            arrays = [jax.device_put(a, devices[k % len(devices)])
+                      for k, a in enumerate(arrays)]
+        # stream handles unequal fold sizes natively (one jitted program
+        # per distinct size; no stacking constraint)
+        ns = [a[0].shape[0] for a in arrays]
+        nvs = [a[2].shape[0] for a in arrays]
+        best_pb_l: List[Optional[Tuple]] = [None] * K
 
     # ---- host-side per-fold controllers (identical to the sequential path)
     # scheduler defaults follow CrossValidator.train_single_model
@@ -145,27 +210,43 @@ def train_folds_parallel(
     best_iou = np.zeros(K)
     best_epoch = np.zeros(K, int)
     best_found = np.zeros(K, bool)
-    best_pb = (states.params, states.batch_stats)
+    if strategy == "vmap":
+        best_pb = (states.params, states.batch_stats)
 
     # per-fold shuffle chains — train_model seeds its chain at key(seed+1)
     chains = [jax.random.key(s + 1) for s in seeds]
 
     t0 = time.time()
     for epoch in range(num_epochs):
-        keys = []
-        for k in range(K):
-            chains[k], sk = jax.random.split(chains[k])
-            keys.append(sk)
-        states, ttot, vtot = engine.run_fold_epochs(
-            states, tr_i, tr_m, va_i, va_m, lrs, jnp.stack(keys), batch_size)
-        ttot, vtot = jax.device_get((ttot, vtot))  # ONE sync for all folds
+        if strategy == "vmap":
+            keys = []
+            for k in range(K):
+                chains[k], sk = jax.random.split(chains[k])
+                keys.append(sk)
+            states, ttot, vtot = engine.run_fold_epochs(
+                states, tr_i, tr_m, va_i, va_m, lrs, jnp.stack(keys),
+                batch_size)
+            # ONE sync for all folds
+            ttot, vtot = jax.device_get((ttot, vtot))
+            totals = {k: (ttot[k], vtot[k]) for k in range(K) if active[k]}
+        else:
+            pending = {}
+            for k in range(K):
+                if not active[k]:
+                    continue
+                chains[k], sk = jax.random.split(chains[k])
+                states_l[k], tt, vt = engine.run_fold_epoch_async(
+                    states_l[k], *arrays[k], lrs[k], sk, batch_size)
+                pending[k] = (tt, vt)
+            # all K epochs are now enqueued back-to-back; one batched sync
+            totals = jax.device_get(pending)
 
         improved = np.zeros(K, bool)
-        for k in range(K):
-            if not active[k]:
-                continue
-            tm = dict(zip(METRIC_KEYS, map(float, ttot[k] / n)))
-            vm = dict(zip(METRIC_KEYS, map(float, vtot[k] / nv)))
+        for k, (tt, vt) in totals.items():
+            nk = n if strategy == "vmap" else ns[k]
+            nvk = nv if strategy == "vmap" else nvs[k]
+            tm = dict(zip(METRIC_KEYS, map(float, np.asarray(tt) / nk)))
+            vm = dict(zip(METRIC_KEYS, map(float, np.asarray(vt) / nvk)))
             tr_hist[k].append(tm)
             va_hist[k].append(vm)
             lrs[k] = schedulers[k].step(vm["iou"])
@@ -177,18 +258,29 @@ def train_folds_parallel(
                 best_found[k] = True
             if stoppers[k].step(vm["iou"]):
                 active[k] = False
-        if improved.any():
-            best_pb = _select_best(
-                best_pb, (states.params, states.batch_stats),
-                jnp.asarray(improved))
+        if strategy == "vmap":
+            if improved.any():
+                best_pb = _select_best(
+                    best_pb, (states.params, states.batch_stats),
+                    jnp.asarray(improved))
+        else:
+            for k in np.nonzero(improved)[0]:
+                # arrays are immutable; holding the reference IS the
+                # snapshot (same semantics as train_model's best-weights)
+                best_pb_l[k] = (states_l[k].params, states_l[k].batch_stats)
         if not active.any():
             break
     elapsed = time.time() - t0
 
     results = []
     for k in range(K):
-        bp = jax.tree.map(lambda x: x[k], best_pb) if best_found[k] else None
-        st = _index_state(states, k)
+        if strategy == "vmap":
+            bp = jax.tree.map(lambda x: x[k], best_pb) \
+                if best_found[k] else None
+            st = _index_state(states, k)
+        else:
+            bp = best_pb_l[k] if best_found[k] else None
+            st = states_l[k]
         if bp is not None:
             st = st.replace(params=bp[0], batch_stats=bp[1])
         results.append({
@@ -217,9 +309,11 @@ def cv_train_folds_parallel(canonical_imgs: np.ndarray,
                             ) -> List[Dict]:
     """CV over pre-resized canonical uint8 data with folds trained in
     parallel. Handles the augment→materialize pipeline per fold (the
-    `train_model` front half, loop.py:141-155) and groups folds of equal
-    train/val sizes into stacked runs — standard K-fold produces at most
-    two such groups when N % K != 0 (folds.py kfold_split split sizes).
+    `train_model` front half, loop.py:141-155). Under the default
+    ``stream`` strategy all folds advance in one run regardless of size;
+    under ``vmap`` (config key ``fold_parallel_strategy``) folds of equal
+    train/val sizes are grouped into stacked runs — standard K-fold
+    produces at most two such groups when N % K != 0.
 
     ``fold_ids``: the folds' ORIGINAL indices (seed derivation) when
     ``cv_folds`` is a subset of a larger fold list (resume skips).
@@ -248,11 +342,14 @@ def cv_train_folds_parallel(canonical_imgs: np.ndarray,
         prepared.append((tr[0], tr[1], va[0], va[1], seed))
         groups.setdefault((tr[0].shape[0], va[0].shape[0]), []).append(k)
 
+    if config.get("fold_parallel_strategy", "stream") == "stream":
+        groups = {None: list(range(len(cv_folds)))}
+
     results: List[Optional[Dict]] = [None] * len(cv_folds)
-    for fold_ids in groups.values():
-        arrays = [prepared[k][:4] for k in fold_ids]
-        seeds = [prepared[k][4] for k in fold_ids]
+    for group in groups.values():
+        arrays = [prepared[k][:4] for k in group]
+        seeds = [prepared[k][4] for k in group]
         out = train_folds_parallel(arrays, config, engine=engine, seeds=seeds)
-        for k, res in zip(fold_ids, out):
+        for k, res in zip(group, out):
             results[k] = res
     return results

@@ -161,12 +161,12 @@ class AugmentationSelector:
         """All CV folds trained simultaneously as stacked vmapped programs
         (segtpu/eval/fold_parallel.py) — the selection search is
         candidates × rounds × folds full trainings (SURVEY §3.3, the
-        reference's most compute-hungry path), and at its batch-2/128²
-        scale K folds cost about one fold's wall time. GroupKFold folds
-        of unequal size stack per size group. Same per-fold protocol as
-        the sequential path (15-epoch quick cap, threshold-0.01 plateau,
-        early stop), same init seed every fold; only the shuffle-key
-        stream differs."""
+        reference's most compute-hungry path). Default 'stream' strategy:
+        each fold's epoch is an async dispatch, one batched fetch per
+        epoch (unequal GroupKFold sizes fine); 'vmap' stacks folds per
+        size group. Same per-fold protocol as the sequential path
+        (15-epoch quick cap, threshold-0.01 plateau, early stop), same
+        init seed every fold; only the shuffle-key stream differs."""
         from segtpu.eval.fold_parallel import train_folds_parallel
 
         arrays, groups = [], {}
@@ -177,6 +177,9 @@ class AugmentationSelector:
             a = (*_materialize(tr_i, tr_m), *_materialize(va_i, va_m))
             arrays.append(a)
             groups.setdefault((a[0].shape[0], a[2].shape[0]), []).append(k)
+        if self.base_config.get("fold_parallel_strategy",
+                                "stream") == "stream":
+            groups = {None: list(range(len(folds)))}  # no size constraint
 
         seed = self.base_config.get("seed", 42)
         cfg = dict(self.base_config)

@@ -296,11 +296,27 @@ class UNetWithBackbone(nn.Module):
         return out
 
 
+_INIT_FN_CACHE: Dict = {}
+
+
 def create_model_state(model: UNetWithBackbone, rng: jax.Array,
                        input_shape: Tuple[int, ...] = (1, 128, 128, 1)
                        ) -> Tuple[Dict, Dict]:
-    """Initialize (params, batch_stats) for a model."""
-    init = jax.jit(lambda k: model.init(
-        k, jnp.zeros(input_shape, model.dtype), train=False))
+    """Initialize (params, batch_stats) for a model.
+
+    The jitted init is cached per (model, shape) — a fresh `jax.jit`
+    wrapper would re-TRACE the full network on every call (seconds of
+    host work per CV fold on a 1-core machine) even when the XLA
+    executable is compile-cache-hit."""
+    try:
+        key = (model, tuple(input_shape))
+        init = _INIT_FN_CACHE.get(key)
+    except TypeError:  # unhashable model: fall back to per-call jit
+        key, init = None, None
+    if init is None:
+        init = jax.jit(lambda k: model.init(
+            k, jnp.zeros(input_shape, model.dtype), train=False))
+        if key is not None:
+            _INIT_FN_CACHE[key] = init
     variables = init(rng)
     return variables["params"], variables.get("batch_stats", {})

@@ -80,14 +80,33 @@ class TrainEngine:
 
     def init_state(self, rng: jax.Array, input_shape, learning_rate: float,
                    weight_decay: float) -> TrainState:
-        params, batch_stats = create_model_state(self.model, rng, input_shape)
-        opt_state = self.tx.init(params)
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(
-            learning_rate, jnp.float32)
-        opt_state.hyperparams["weight_decay"] = jnp.asarray(
-            weight_decay, jnp.float32)
-        return TrainState(params=params, batch_stats=batch_stats,
-                          opt_state=opt_state)
+        """Fresh (params, batch_stats, opt_state) as ONE cached jitted
+        program per input shape. The naive formulation (model.init under a
+        throwaway jit + eager optax init) re-traced the whole U-Net and
+        issued hundreds of tiny zeros_like dispatches on EVERY call —
+        measured 2.7 s per init on the 1-core relay host, i.e. ~14 s of
+        pure overhead per 5-fold CV before the first epoch ran."""
+        cache = getattr(self, "_init_state_cache", None)
+        if cache is None:
+            cache = self._init_state_cache = {}
+        key = tuple(input_shape)
+        fn = cache.get(key)
+        if fn is None:
+            def _init(rng, lr, wd):
+                variables = self.model.init(
+                    rng, jnp.zeros(input_shape, self.model.dtype),
+                    train=False)
+                opt_state = self.tx.init(variables["params"])
+                opt_state.hyperparams["learning_rate"] = lr
+                opt_state.hyperparams["weight_decay"] = wd
+                return TrainState(params=variables["params"],
+                                  batch_stats=variables.get(
+                                      "batch_stats", {}),
+                                  opt_state=opt_state)
+
+            fn = cache[key] = jax.jit(_init)
+        return fn(rng, jnp.asarray(learning_rate, jnp.float32),
+                  jnp.asarray(weight_decay, jnp.float32))
 
     # ------------------------------------------------------------ steps
 
@@ -280,21 +299,27 @@ class TrainEngine:
 
     # ------------------------------------------------------ fold-parallel
 
-    def _fold_epoch_fn(self, n: int, nv: int, b: int):
-        """Build (and cache) the jitted, fold-vmapped one-epoch program for
-        train size ``n`` / val size ``nv`` / batch ``b``.
+    def _fold_epoch_fn(self, n: int, nv: int, b: int,
+                       vmapped: bool = True):
+        """Build (and cache) the jitted one-epoch program for train size
+        ``n`` / val size ``nv`` / batch ``b``.
 
         One fold's epoch — shuffle, scan-train, remainder step, eval pass —
-        exactly mirrors ``run_train_and_eval_epoch``'s device work; ``vmap``
-        lifts it over a leading fold axis so K independent trainings
-        advance one epoch in ONE dispatch. The bucketing-pad ``valid``
-        flags are trace-time constants shared by every fold (equal fold
-        sizes are a precondition), so the scan's ``lax.cond`` stays a real
+        exactly mirrors ``run_train_and_eval_epoch``'s device work but
+        returns unfetched metric totals. With ``vmapped`` a leading fold
+        axis lifts K independent trainings into ONE dispatch (per-fold
+        weights make every conv a grouped conv — measured SLOWER on one
+        chip, PERF.md round 3; useful only mesh-sharded). Without, the
+        plain single-fold program is returned, for async round-robin
+        dispatch across folds (the single-chip winner: identical programs,
+        one batched fetch per epoch). The bucketing-pad ``valid`` flags
+        are trace-time constants shared by every fold (equal fold sizes
+        are a precondition), so the scan's ``lax.cond`` stays a real
         branch under vmap instead of select-both-sides."""
         cache = getattr(self, "_fold_epoch_cache", None)
         if cache is None:
             cache = self._fold_epoch_cache = {}
-        key = (n, nv, b)
+        key = (n, nv, b, vmapped)
         if key in cache:
             return cache[key]
         nf, r = divmod(n, b)
@@ -328,14 +353,14 @@ class TrainEngine:
                 vtot = vtot + jnp.stack([m[k] for k in METRIC_KEYS]) * rv
             return state, totals, vtot
 
-        cache[key] = jax.jit(jax.vmap(one_fold))
+        cache[key] = jax.jit(jax.vmap(one_fold) if vmapped else one_fold)
         return cache[key]
 
     def run_fold_epochs(self, states: TrainState, tr_i, tr_m, va_i, va_m,
                         lrs, keys, batch_size: int):
         """Advance K stacked independent trainings by one epoch each, in one
-        device program (SURVEY §2.1 #15: CV folds are embarrassingly
-        parallel — the reference trains them sequentially,
+        vmapped device program (SURVEY §2.1 #15: CV folds are
+        embarrassingly parallel — the reference trains them sequentially,
         cross_validation.py:77-124).
 
         ``states``: TrainState with a leading fold axis K on every leaf;
@@ -344,11 +369,27 @@ class TrainEngine:
         Returns (states, train_totals (K, 6), val_totals (K, 6)) — totals
         are device arrays of sample-weighted metric sums (divide by N/Nv)."""
         old = states.opt_state.hyperparams["learning_rate"]
-        states.opt_state.hyperparams["learning_rate"] = jnp.asarray(
-            lrs, dtype=old.dtype)
+        lrs = jnp.asarray(lrs, dtype=old.dtype)
+        if hasattr(old, "sharding"):  # keep fold-sharded layouts intact
+            lrs = jax.device_put(lrs, old.sharding)
+        states.opt_state.hyperparams["learning_rate"] = lrs
         fn = self._fold_epoch_fn(tr_i.shape[1], va_i.shape[1],
                                  int(batch_size))
         return fn(states, tr_i, tr_m, va_i, va_m, keys)
+
+    def run_fold_epoch_async(self, state: TrainState, ti, tm, vi, vm,
+                             lr: float, key: jax.Array, batch_size: int):
+        """One fold's full epoch as a single async dispatch: returns
+        (state, train_totals (6,), val_totals (6,)) WITHOUT fetching, so a
+        caller can round-robin K folds' epochs back-to-back on the device
+        queue and pay one host sync for all of them (fold_parallel.py
+        'stream' strategy)."""
+        old = state.opt_state.hyperparams["learning_rate"]
+        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            lr, dtype=old.dtype)
+        fn = self._fold_epoch_fn(ti.shape[0], vi.shape[0],
+                                 int(batch_size), vmapped=False)
+        return fn(state, ti, tm, vi, vm, key)
 
     def run_train_and_eval_epoch(self, state: TrainState, train_loader,
                                  val_loader, lr: float,

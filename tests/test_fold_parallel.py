@@ -88,14 +88,16 @@ def test_fold_parallel_matches_sequential(canonical):
 
 def test_unequal_fold_grouping(canonical):
     """kfold_split(12, 3) is equal-sized, so force unequal folds from 10
-    samples: two (7 train, 3 val) + one (6 train, 4 val) group — results
-    must come back in fold order with full schema."""
+    samples: two (7 train, 3 val) + one (6 train, 4 val) group — under
+    the vmap strategy these stack per size group; results must come back
+    in fold order with full schema."""
     ci, cm = canonical
     folds = list(kfold_split(10, 3, shuffle=True, random_state=1))
     sizes = {(len(tr), len(va)) for tr, va in folds}
     assert len(sizes) == 2  # two stacked groups exercised
     res = cv_train_folds_parallel(ci[:10], cm[:10], folds,
-                                  dict(CFG, num_epochs=1),
+                                  dict(CFG, num_epochs=1,
+                                       fold_parallel_strategy="vmap"),
                                   augmentations_per_image=0)
     assert len(res) == 3
     for r, (tr, va) in zip(res, folds):
@@ -119,6 +121,45 @@ def test_early_stop_per_fold(canonical):
     for r in res:
         assert len(r["val_metrics"]) == 2  # epoch0 best-init, epoch1 stop
         assert r["final_val_metrics"] == r["val_metrics"][-1]
+
+
+def test_multi_device_folds_match_single_device(canonical):
+    """Folds laid out across 2 devices — stream placement (fold k on
+    device k) and vmap mesh-sharding (shard_folds) — produce the same
+    training results as the single-device run: fold parallelism over
+    chips needs zero collectives, so the layout must be semantically
+    invisible."""
+    import jax
+    from segtpu.core.dist import create_mesh
+    from segtpu.train.loop import _materialize
+
+    ci, cm = canonical
+    folds = [(list(range(0, 8)), list(range(8, 12))),
+             (list(range(4, 12)), list(range(0, 4)))]
+    cfg = dict(CFG, num_epochs=2)
+    arrays = []
+    for tr, va in folds:
+        t = _materialize(ci[tr], cm[tr])
+        v = _materialize(ci[va], cm[va])
+        arrays.append((t[0], t[1], v[0], v[1]))
+
+    base = train_folds_parallel(arrays, cfg, seeds=[0, 1000])
+    placed = train_folds_parallel(arrays, cfg, seeds=[0, 1000],
+                                  devices=jax.devices()[:2])
+    mesh = create_mesh((2,), ("data",), devices=jax.devices()[:2])
+    sharded = train_folds_parallel(arrays, cfg, seeds=[0, 1000], mesh=mesh)
+
+    for other in (placed, sharded):
+        for b, s in zip(base, other):
+            for e, (bm, sm) in enumerate(zip(b["val_metrics"],
+                                             s["val_metrics"])):
+                assert bm["loss"] == pytest.approx(sm["loss"], abs=2e-3), e
+                assert bm["iou"] == pytest.approx(sm["iou"], abs=1e-2), e
+            assert b["lr_history"] == pytest.approx(s["lr_history"])
+
+    with pytest.raises(ValueError, match="divide evenly"):
+        mesh3 = create_mesh((3,), ("data",), devices=jax.devices()[:3])
+        train_folds_parallel(arrays, cfg, seeds=[0, 1000], mesh=mesh3)
 
 
 def test_forward_selection_fold_parallel(tmp_path, monkeypatch):
