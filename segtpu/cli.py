@@ -5,8 +5,9 @@ reference's CLI is actually broken as shipped, importing a nonexistent
 ``cell_segmentation`` package, main.py:5-17 / SURVEY.md §1; this one works).
 
 Extra flags: --data-dir, --image-type, --quick (small fixture-scale run for
-smoke testing on limited hardware), --fold-parallel (train each CV's folds
-as one stacked vmapped device program, segtpu/eval/fold_parallel.py).
+smoke testing on limited hardware), --fold-parallel (advance all of a CV's
+fold trainings together via async per-fold epoch dispatch with one batched
+metric fetch per epoch, segtpu/eval/fold_parallel.py).
 """
 
 from __future__ import annotations

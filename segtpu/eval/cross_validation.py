@@ -49,9 +49,10 @@ class CrossValidator:
         # metrics are persisted as JSON and a restarted run skips straight
         # past them (folds are deterministic given the same seed).
         self.resume_dir = resume_dir
-        # TPU-native fold parallelism: advance all K fold trainings per
-        # device dispatch via vmap (segtpu/eval/fold_parallel.py) instead
-        # of the reference's sequential loop (cross_validation.py:77-124).
+        # TPU-native fold parallelism: advance all K fold trainings
+        # together — async per-fold epoch dispatch, one batched metric
+        # fetch per epoch (segtpu/eval/fold_parallel.py) — instead of
+        # the reference's sequential loop (cross_validation.py:77-124).
         self.fold_parallel = fold_parallel
 
         self.data = load_original_data(data_dir, image_type)

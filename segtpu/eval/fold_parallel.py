@@ -4,12 +4,25 @@ TPU-native redesign of the reference's sequential fold loop
 (cross_validation.py:77-124): the reference trains K folds one after
 another, each a fresh model through `train_model`. The folds are
 embarrassingly parallel — same architecture, same shapes, independent
-data/weights — which on TPU means they can be STACKED on a leading fold
-axis and advanced together: one `jax.vmap`-lifted epoch program
-(`TrainEngine.run_fold_epochs`) moves all K trainings forward per device
-dispatch. At the reference's scales (batch 2-4, 128² images) a single
-fold's step is far below the MXU/dispatch crossover, so K folds cost
-roughly one fold's wall time.
+data/weights — so all K trainings advance together, one epoch per
+round. Default `stream` strategy: each fold's epoch (shuffle →
+scan-train → eval, one jitted program, `TrainEngine.run_fold_epoch_async`)
+is an ASYNC dispatch; K folds × an h-epoch pipeline window enqueue
+back-to-back on the device queue and the host pays ONE batched metric
+fetch per window (~1 s RTT per fetch on a relay-attached TPU, so the
+fetch bill is divided by K×h). The window size h is the controllers'
+provable no-event horizon (`safe_horizon`, segtpu/train/optim.py), so
+pipelining is mis-speculation-free and bit-identical to per-epoch
+dispatch. On a multi-chip slice, `devices=[...]` places fold k on device
+k%ndev — genuine parallel fold execution with ZERO collectives and no
+GSPMD (measured: reference-scale 5-fold CV 27.9 → 4.8 s, PERF.md
+round 3).
+
+The alternative `vmap` strategy (one fused epoch program over a stacked
+fold axis, `TrainEngine.run_fold_epochs`) is a measured single-chip
+NEGATIVE: vmapping over per-fold weights lowers every conv to a grouped
+conv (6.3× one fold's epoch), and GSPMD cannot shard the fold axis
+because the grouped head conv has Cout=1 < K. Kept for the record.
 
 Semantics match the sequential path exactly, per fold:
 
@@ -19,13 +32,10 @@ Semantics match the sequential path exactly, per fold:
 - the same shuffle-key chain `train_model` uses (`key(seed+1)`, split per
   epoch), the same permutation math as `DeviceDataLoader.batches`,
 - host-side per-fold ReduceLROnPlateau / EarlyStopping / best-weight
-  tracking between epochs (train.py:115-244 contract). A fold that stops
-  early keeps riding the stacked program (its extra epochs are discarded);
-  the loop exits when every fold has stopped.
-
-One host↔device sync per epoch fetches the (K, 6) train/val metric
-totals for ALL folds — on a relay-attached TPU (~1 s RTT per fetch) the
-fold-parallel sweep also divides the per-epoch host overhead by K.
+  tracking between epochs (train.py:115-244 contract). Under `stream` a
+  fold that early-stops stops being dispatched; under `vmap` it keeps
+  riding the stack (extra epochs discarded). The loop exits when every
+  fold has stopped.
 """
 
 from __future__ import annotations
@@ -39,26 +49,6 @@ import numpy as np
 
 from segtpu.train.engine import METRIC_KEYS, TrainEngine, TrainState, get_engine
 from segtpu.train.optim import EarlyStopping, ReduceLROnPlateau
-
-
-def shard_folds(states: TrainState, arrays: Sequence[jnp.ndarray], mesh,
-                axis: str = "data"):
-    """Lay the stacked fold axis out across a device mesh: fold k's weights
-    AND data live on device k % ndev, so the vmapped epoch program runs
-    K/ndev folds per chip with ZERO collectives — CV folds are
-    embarrassingly parallel (SURVEY §2.1 #15), which on a TPU slice means
-    fold-parallelism IS the multi-chip strategy for experiment sweeps
-    (each fold's batch-4 step is far too small to data-parallelize).
-
-    Requires K % mesh.shape[axis] == 0. Returns (states, arrays) with
-    every leaf/array sharded on its leading (fold) axis."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    def lead(x):
-        return jax.device_put(
-            x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1)))))
-
-    return (jax.tree.map(lead, states), [lead(a) for a in arrays])
 
 
 def _stack_states(states: Sequence[TrainState]) -> TrainState:
@@ -99,7 +89,7 @@ def train_folds_parallel(
                                     jnp.ndarray, jnp.ndarray]],
         config: Dict, engine: Optional[TrainEngine] = None,
         seeds: Optional[Sequence[int]] = None,
-        auto_bias: bool = True, mesh=None,
+        auto_bias: bool = True,
         strategy: str = "stream",
         devices: Optional[Sequence] = None) -> List[Dict]:
     """Train K independent folds simultaneously; returns one
@@ -119,15 +109,15 @@ def train_folds_parallel(
     - ``"stream"`` (default): round-robin ASYNC dispatch — each fold's
       epoch is the plain single-fold program enqueued back-to-back;
       ONE batched host fetch per epoch covers every fold, and folds
-      that early-stop genuinely stop costing compute. This is the
-      single-chip winner: vmapping over per-fold WEIGHTS turns every
-      conv into a grouped conv, measured 6.3× one fold's epoch instead
-      of ~5× cheaper dispatch (PERF.md round 3). With ``devices`` (a
-      list of jax devices) fold k lives on devices[k % ndev] — true
-      multi-chip fold parallelism with zero collectives.
+      that early-stop genuinely stop costing compute. With ``devices``
+      (a list of jax devices) fold k lives on devices[k % ndev] — true
+      multi-chip fold parallelism with zero collectives, no GSPMD.
     - ``"vmap"``: all K folds stacked on a leading axis, one fused
-      program per epoch. ``mesh`` (a `jax.sharding.Mesh`) shards the
-      stack across its first axis (K must divide evenly); implies vmap.
+      program per epoch. Measured NEGATIVE on one chip (vmapping over
+      per-fold WEIGHTS turns every conv into a grouped conv, 6.3× one
+      fold's epoch — PERF.md round 3), and GSPMD cannot partition the
+      fold axis either (the grouped head conv has Cout=1 < K). Kept as
+      a recorded alternative; use stream.
     """
     config = dict(config or {})
     K = len(fold_arrays)
@@ -140,17 +130,19 @@ def train_folds_parallel(
     if seeds is None:
         seeds = [base_seed + 1000 * k for k in range(K)]
     strategy = config.get("fold_parallel_strategy", strategy)
-    if mesh is not None:
-        strategy = "vmap"
     if strategy not in ("stream", "vmap"):
         raise ValueError(f"unknown fold-parallel strategy {strategy!r}")
 
     if engine is None:
         engine = get_engine(config)
 
-    # ---- per-fold fresh init (+ from-scratch fg-prior bias)
+    # ---- per-fold fresh init (+ from-scratch fg-prior bias; scoped to
+    # the CE-family losses that stall all-background — same gating as
+    # train_model's _auto_final_bias, segtpu/train/loop.py)
+    from segtpu.train.loop import BCE_FAMILY_LOSSES
     auto_bias = (auto_bias and "final_bias_prior" not in config
-                 and getattr(engine.model, "n_classes", 1) == 1)
+                 and getattr(engine.model, "n_classes", 1) == 1
+                 and config.get("loss_fn", "combo") in BCE_FAMILY_LOSSES)
     per_fold = []
     for k in range(K):
         st = engine.init_state(jax.random.key(seeds[k]), (1, *img_size, 1),
@@ -166,14 +158,6 @@ def train_folds_parallel(
         tr_m = jnp.stack([f[1] for f in fold_arrays])
         va_i = jnp.stack([f[2] for f in fold_arrays])
         va_m = jnp.stack([f[3] for f in fold_arrays])
-        if mesh is not None:
-            axis = mesh.axis_names[0]
-            if K % mesh.shape[axis]:
-                raise ValueError(
-                    f"fold count {K} must divide evenly across mesh axis "
-                    f"'{axis}' of size {mesh.shape[axis]}")
-            states, (tr_i, tr_m, va_i, va_m) = shard_folds(
-                states, (tr_i, tr_m, va_i, va_m), mesh, axis)
         n, nv = tr_i.shape[1], va_i.shape[1]
     else:
         states_l = per_fold
@@ -216,9 +200,25 @@ def train_folds_parallel(
     # per-fold shuffle chains — train_model seeds its chain at key(seed+1)
     chains = [jax.random.key(s + 1) for s in seeds]
 
+    def controller_step(k: int, epoch: int, tt, vt, nk: int, nvk: int,
+                        improved) -> None:
+        tm = dict(zip(METRIC_KEYS, map(float, np.asarray(tt) / nk)))
+        vm = dict(zip(METRIC_KEYS, map(float, np.asarray(vt) / nvk)))
+        tr_hist[k].append(tm)
+        va_hist[k].append(vm)
+        lrs[k] = schedulers[k].step(vm["iou"])
+        lr_hist[k].append(float(lrs[k]))
+        if vm["iou"] > best_iou[k]:
+            best_iou[k] = vm["iou"]
+            best_epoch[k] = epoch
+            improved[k] = True
+            best_found[k] = True
+        if stoppers[k].step(vm["iou"]):
+            active[k] = False
+
     t0 = time.time()
-    for epoch in range(num_epochs):
-        if strategy == "vmap":
+    if strategy == "vmap":
+        for epoch in range(num_epochs):
             keys = []
             for k in range(K):
                 chains[k], sk = jax.random.split(chains[k])
@@ -228,48 +228,60 @@ def train_folds_parallel(
                 batch_size)
             # ONE sync for all folds
             ttot, vtot = jax.device_get((ttot, vtot))
-            totals = {k: (ttot[k], vtot[k]) for k in range(K) if active[k]}
-        else:
-            pending = {}
+            improved = np.zeros(K, bool)
             for k in range(K):
-                if not active[k]:
-                    continue
-                chains[k], sk = jax.random.split(chains[k])
-                states_l[k], tt, vt = engine.run_fold_epoch_async(
-                    states_l[k], *arrays[k], lrs[k], sk, batch_size)
-                pending[k] = (tt, vt)
-            # all K epochs are now enqueued back-to-back; one batched sync
-            totals = jax.device_get(pending)
-
-        improved = np.zeros(K, bool)
-        for k, (tt, vt) in totals.items():
-            nk = n if strategy == "vmap" else ns[k]
-            nvk = nv if strategy == "vmap" else nvs[k]
-            tm = dict(zip(METRIC_KEYS, map(float, np.asarray(tt) / nk)))
-            vm = dict(zip(METRIC_KEYS, map(float, np.asarray(vt) / nvk)))
-            tr_hist[k].append(tm)
-            va_hist[k].append(vm)
-            lrs[k] = schedulers[k].step(vm["iou"])
-            lr_hist[k].append(float(lrs[k]))
-            if vm["iou"] > best_iou[k]:
-                best_iou[k] = vm["iou"]
-                best_epoch[k] = epoch
-                improved[k] = True
-                best_found[k] = True
-            if stoppers[k].step(vm["iou"]):
-                active[k] = False
-        if strategy == "vmap":
+                if active[k]:
+                    controller_step(k, epoch, ttot[k], vtot[k], n, nv,
+                                    improved)
             if improved.any():
                 best_pb = _select_best(
                     best_pb, (states.params, states.batch_stats),
                     jnp.asarray(improved))
-        else:
-            for k in np.nonzero(improved)[0]:
-                # arrays are immutable; holding the reference IS the
-                # snapshot (same semantics as train_model's best-weights)
-                best_pb_l[k] = (states_l[k].params, states_l[k].batch_stats)
-        if not active.any():
-            break
+            if not active.any():
+                break
+    else:
+        # Windowed epoch pipelining (same mechanism as train_model's loop,
+        # segtpu/train/loop.py): the plateau/early-stop patience counters
+        # prove a per-fold no-event horizon — the next
+        # `scheduler.safe_horizon()` epochs must run at the current LR and
+        # a stop can only land on the last `stopper.safe_horizon()`-th
+        # dispatch. Dispatching min-over-folds horizon epochs for EVERY
+        # active fold back-to-back and fetching all K×h metric totals in
+        # ONE device_get divides the relay-RTT fetch bill by another h×,
+        # with zero mis-speculation and bit-identical numerics.
+        pipeline = max(1, int(config.get("pipeline_epochs", 4)))
+        epoch = 0
+        while epoch < num_epochs and active.any():
+            live = np.nonzero(active)[0]
+            h = min([pipeline, num_epochs - epoch]
+                    + [schedulers[k].safe_horizon() for k in live]
+                    + [stoppers[k].safe_horizon() for k in live])
+            pending = []  # per window step: {fold: (tt, vt)}
+            snaps = []    # per window step: {fold: (params, batch_stats)}
+            for _ in range(h):
+                pj, sj = {}, {}
+                for k in live:
+                    chains[k], sk = jax.random.split(chains[k])
+                    states_l[k], tt, vt = engine.run_fold_epoch_async(
+                        states_l[k], *arrays[k], lrs[k], sk, batch_size)
+                    pj[k] = (tt, vt)
+                    # arrays are immutable; holding the reference IS the
+                    # snapshot (same semantics as train_model)
+                    sj[k] = (states_l[k].params, states_l[k].batch_stats)
+                pending.append(pj)
+                snaps.append(sj)
+            # all K×h epochs are enqueued back-to-back; one batched sync
+            fetched = jax.device_get(pending)
+            for pj, sj in zip(fetched, snaps):
+                improved = np.zeros(K, bool)
+                for k, (tt, vt) in pj.items():
+                    if not active[k]:   # stopped earlier in this window
+                        continue        # (unreachable by the horizon bound)
+                    controller_step(k, epoch, tt, vt, ns[k], nvs[k],
+                                    improved)
+                for k in np.nonzero(improved)[0]:
+                    best_pb_l[k] = sj[k]
+                epoch += 1
     elapsed = time.time() - t0
 
     results = []

@@ -391,17 +391,19 @@ class TrainEngine:
                                  int(batch_size), vmapped=False)
         return fn(state, ti, tm, vi, vm, key)
 
-    def run_train_and_eval_epoch(self, state: TrainState, train_loader,
-                                 val_loader, lr: float,
-                                 key: Optional[jax.Array] = None):
-        """Train epoch + validation epoch with a SINGLE host↔device sync.
+    def run_train_and_eval_epoch_async(self, state: TrainState, train_loader,
+                                       val_loader, lr: float,
+                                       key: Optional[jax.Array] = None):
+        """Train epoch + validation epoch dispatched WITHOUT a host fetch:
+        returns (state, train_totals (6,), val_totals (6,)) as async device
+        arrays (sample-weighted metric sums — divide by loader.n).
 
-        On relay-attached TPUs every device fetch pays ~1s of round-trip
-        latency; dispatching both epochs asynchronously and fetching the two
-        metric vectors together halves the per-epoch host overhead."""
+        This is the building block for epoch pipelining (train_model's
+        no-event-horizon window, segtpu/train/loop.py): a caller can chain
+        several epochs' dispatches back-to-back on the device queue and pay
+        ONE relay round-trip for all their metric fetches."""
         set_learning_rate(state.opt_state, lr)
         (fi, fm), rem = train_loader.batches(key)
-        n = train_loader.n
         b = train_loader.batch_size
         totals = jnp.zeros(len(METRIC_KEYS))
         if fi.shape[0] > 0:
@@ -413,8 +415,21 @@ class TrainEngine:
             r = rem[0].shape[0]
             totals = totals + jnp.stack([m[k] for k in METRIC_KEYS]) * r
         val_totals = self._eval_totals(state, val_loader)
+        return state, totals, val_totals
+
+    def run_train_and_eval_epoch(self, state: TrainState, train_loader,
+                                 val_loader, lr: float,
+                                 key: Optional[jax.Array] = None):
+        """Train epoch + validation epoch with a SINGLE host↔device sync.
+
+        On relay-attached TPUs every device fetch pays ~1s of round-trip
+        latency; dispatching both epochs asynchronously and fetching the two
+        metric vectors together halves the per-epoch host overhead."""
+        state, totals, val_totals = self.run_train_and_eval_epoch_async(
+            state, train_loader, val_loader, lr, key)
         tvals, vvals = jax.device_get((totals, val_totals))
-        train_metrics = dict(zip(METRIC_KEYS, map(float, tvals / n)))
+        train_metrics = dict(zip(METRIC_KEYS,
+                                 map(float, tvals / train_loader.n)))
         val_metrics = dict(zip(METRIC_KEYS,
                                map(float, vvals / val_loader.n)))
         return state, train_metrics, val_metrics

@@ -26,7 +26,8 @@ import numpy as np
 from segtpu.data.augment import CellAugmenter
 from segtpu.data.loader import DeviceDataLoader
 from segtpu.data.preprocess import load_canonical, normalize_canonical
-from segtpu.train.engine import TrainEngine, TrainState, get_engine
+from segtpu.train.engine import (METRIC_KEYS, TrainEngine, TrainState,
+                                 get_engine)
 from segtpu.train.optim import EarlyStopping, ReduceLROnPlateau
 
 ArraysOrPaths = Union[Sequence[str], Tuple[np.ndarray, np.ndarray]]
@@ -61,11 +62,18 @@ def _materialize(imgs_u8, masks_u8):
     return imgs, masks
 
 
+BCE_FAMILY_LOSSES = frozenset({
+    "bce", "weighted_bce", "balanced_bce", "focal", "distance_map_bce",
+    "boundary",
+})
+
+
 def _auto_final_bias(engine: TrainEngine, state: TrainState, config: Dict,
                      tr_masks, verbose: bool) -> TrainState:
     """Initialize the final-conv bias to the training-set foreground logit
     when training FROM SCRATCH (no initial_state, no explicit
-    ``final_bias_prior`` in config).
+    ``final_bias_prior`` in config) with a purely per-pixel CE-family loss
+    (``BCE_FAMILY_LOSSES``).
 
     Why: with torch-default zero bias on heavily imbalanced masks, plain
     BCE/weighted-BCE sink into the all-background local minimum and stall
@@ -74,8 +82,14 @@ def _auto_final_bias(engine: TrainEngine, state: TrainState, config: Dict,
     pretrained (advanced_models.py:72-78) — no such checkpoints exist in
     this container. Setting bias = log(p/(1−p)) makes the initial predicted
     foreground rate match the data (the standard imbalanced-seg init,
-    cf. focal-loss §3.3 prior initialization) and is loss-neutral for the
-    dice/combo family.
+    cf. focal-loss §3.3 prior initialization).
+
+    Why NOT for losses with a region/overlap term (dice, combo, tversky…):
+    their gradient already escapes all-background, and the prior
+    measurably DELAYS crossing the 0.5 prediction threshold — on the
+    synthetic fixture a 5-epoch combo run reaches IoU 0.26 with zero bias
+    but is still at IoU 0 (all probabilities < 0.5) with bias=logit(fg).
+    So the prior is scoped to the CE family that needs it.
 
     Applied as STATE surgery, not a model hyperparameter, so the engine
     cache (keyed on model config) still shares one compiled program across
@@ -87,6 +101,8 @@ def _auto_final_bias(engine: TrainEngine, state: TrainState, config: Dict,
         return state                      # the model init already honored it
     if getattr(engine.model, "n_classes", 1) != 1:
         return state                      # binary-fg prior only
+    if config.get("loss_fn", "combo") not in BCE_FAMILY_LOSSES:
+        return state                      # region-term losses don't stall
     import math
     p = float(np.clip(float(jnp.mean(tr_masks)), 1e-4, 1.0 - 1e-4))
     b = math.log(p / (1.0 - p))
@@ -209,50 +225,85 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
         if config.get("metrics_log") else None
     debug_nans = bool(config.get("debug_nans", False))
 
+    # Epoch pipelining (TPU-relay-native): the per-epoch host fetch costs a
+    # full relay round-trip (~1 s RTT) that dominates small-epoch trainings.
+    # The plateau scheduler and early stopper are patience counters, so from
+    # their CURRENT state a no-event horizon is provable: the next
+    # `scheduler.safe_horizon()` epochs must train at the current LR and a
+    # stop can only land on the last of `early_stopping.safe_horizon()`
+    # dispatches. Dispatching that whole window back-to-back and fetching
+    # ALL its metric totals in ONE device_get divides the RTT bill by the
+    # window size with ZERO mis-speculation — numerics are bit-identical to
+    # the per-epoch loop (same programs, same inputs, same key chain).
+    # `pipeline_epochs` caps the window (each in-flight epoch keeps one
+    # extra TrainState live on device); 1 disables pipelining.
+    pipeline = max(1, int(config.get("pipeline_epochs", 4)))
+
     shuffle_key = jax.random.key(seed + 1)
     train_metrics: Dict = {}
     val_metrics: Dict = {}
-    for epoch in range(num_epochs):
-        shuffle_key, sk = jax.random.split(shuffle_key)
-        # fused train+eval: one host↔device sync per epoch
-        state, train_metrics, val_metrics = engine.run_train_and_eval_epoch(
-            state, train_loader, val_loader, lr, sk)
-        train_metrics_history.append(train_metrics)
-        val_metrics_history.append(val_metrics)
-
-        if debug_nans and not (np.isfinite(train_metrics["loss"])
-                               and np.isfinite(val_metrics["loss"])):
-            raise FloatingPointError(
-                f"Non-finite loss at epoch {epoch+1}: "
-                f"train={train_metrics['loss']}, val={val_metrics['loss']}")
-
+    epoch = 0
+    stopped = False
+    while epoch < num_epochs and not stopped:
+        h = min(pipeline, num_epochs - epoch,
+                early_stopping.safe_horizon())
         if scheduler is not None:
-            lr = scheduler.step(val_metrics["iou"])
-        lr_history.append(lr)
+            h = min(h, scheduler.safe_horizon())
+        window = []
+        for _ in range(h):
+            shuffle_key, sk = jax.random.split(shuffle_key)
+            state, tt, vt = engine.run_train_and_eval_epoch_async(
+                state, train_loader, val_loader, lr, sk)
+            window.append((state, tt, vt))
+        # ONE host↔device sync for the whole window
+        fetched = jax.device_get([(tt, vt) for _, tt, vt in window])
+        for (wstate, _, _), (tvals, vvals) in zip(window, fetched):
+            train_metrics = dict(zip(
+                METRIC_KEYS, map(float, np.asarray(tvals) / train_loader.n)))
+            val_metrics = dict(zip(
+                METRIC_KEYS, map(float, np.asarray(vvals) / val_loader.n)))
+            train_metrics_history.append(train_metrics)
+            val_metrics_history.append(val_metrics)
 
-        if logger is not None:
-            logger.log({"epoch": epoch, "lr": lr,
-                        **{f"train_{k}": v for k, v in train_metrics.items()},
-                        **{f"val_{k}": v for k, v in val_metrics.items()}},
-                       kind="epoch")
+            if debug_nans and not (np.isfinite(train_metrics["loss"])
+                                   and np.isfinite(val_metrics["loss"])):
+                raise FloatingPointError(
+                    f"Non-finite loss at epoch {epoch+1}: "
+                    f"train={train_metrics['loss']}, "
+                    f"val={val_metrics['loss']}")
 
-        if verbose:
-            print(f"Epoch {epoch+1:3d}/{num_epochs} - "
-                  f"Train Loss: {train_metrics['loss']:.4f}, "
-                  f"Train IoU: {train_metrics['iou']:.4f}, "
-                  f"Val Loss: {val_metrics['loss']:.4f}, "
-                  f"Val IoU: {val_metrics['iou']:.4f}, "
-                  f"LR: {lr:.6f}")
+            if scheduler is not None:
+                lr = scheduler.step(val_metrics["iou"])
+            lr_history.append(lr)
 
-        if val_metrics["iou"] > best_iou:
-            best_iou = val_metrics["iou"]
-            best_state = (state.params, state.batch_stats)
-            best_epoch = epoch
+            if logger is not None:
+                logger.log({"epoch": epoch, "lr": lr,
+                            **{f"train_{k}": v
+                               for k, v in train_metrics.items()},
+                            **{f"val_{k}": v
+                               for k, v in val_metrics.items()}},
+                           kind="epoch")
 
-        if early_stopping.step(val_metrics["iou"]):
             if verbose:
-                print(f"Early stopping triggered at epoch {epoch+1}")
-            break
+                print(f"Epoch {epoch+1:3d}/{num_epochs} - "
+                      f"Train Loss: {train_metrics['loss']:.4f}, "
+                      f"Train IoU: {train_metrics['iou']:.4f}, "
+                      f"Val Loss: {val_metrics['loss']:.4f}, "
+                      f"Val IoU: {val_metrics['iou']:.4f}, "
+                      f"LR: {lr:.6f}")
+
+            if val_metrics["iou"] > best_iou:
+                best_iou = val_metrics["iou"]
+                best_state = (wstate.params, wstate.batch_stats)
+                best_epoch = epoch
+
+            epoch += 1
+            if early_stopping.step(val_metrics["iou"]):
+                if verbose:
+                    print(f"Early stopping triggered at epoch {epoch}")
+                stopped = True
+                state = wstate  # by the horizon bound this is window[-1]
+                break
 
     time_elapsed = time.time() - start_time
     if verbose:

@@ -86,6 +86,21 @@ class ReduceLROnPlateau:
                 self.num_bad_epochs = 0
         return self.lr
 
+    def safe_horizon(self) -> int:
+        """Epoch-pipelining lookahead bound: how many upcoming epochs are
+        GUARANTEED to train at the current LR, whatever their metrics.
+
+        From bad-count b, an LR cut needs the count to exceed ``patience``,
+        which takes at least ``patience - b + 1`` more steps even if every
+        one is bad — and a cut at step j only affects epoch j+1. So the
+        next ``patience - b + 1`` epochs can be dispatched before their
+        metrics are fetched with zero mis-speculation (train_model's
+        windowed loop, segtpu/train/loop.py). At the LR floor no further
+        change is possible at all."""
+        if self.lr <= self.min_lr:
+            return 1 << 30
+        return self.patience - self.num_bad_epochs + 1
+
 
 class EarlyStopping:
     """Patience counter on a max-mode score (utils.py:174-190)."""
@@ -106,3 +121,10 @@ class EarlyStopping:
             if self.counter >= self.patience:
                 self.early_stop = True
         return self.early_stop
+
+    def safe_horizon(self) -> int:
+        """Epoch-pipelining lookahead bound: how many upcoming epochs may
+        be dispatched such that a stop decision can only land on the LAST
+        of them (so none of the dispatched epochs is wasted). From counter
+        c the stop needs at least ``patience - c`` more bad steps."""
+        return max(1, self.patience - self.counter)

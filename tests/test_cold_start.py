@@ -38,7 +38,8 @@ def test_auto_bias_matches_fg_logit():
                          "loss_fn": "bce"})
     state = engine.init_state(jax.random.key(0), (1, 32, 32, 1), 1e-3, 0.0)
     masks = jnp.zeros((4, 32, 32, 1)).at[:, :8, :8, :].set(1.0)  # fg = 1/16
-    new = _auto_final_bias(engine, state, {}, masks, verbose=False)
+    new = _auto_final_bias(engine, state, {"loss_fn": "bce"}, masks,
+                           verbose=False)
     p = 1.0 / 16.0
     want = np.log(p / (1 - p))
     got = np.asarray(new.params["conv_final"]["bias"])
@@ -61,6 +62,30 @@ def test_auto_bias_optout_and_explicit():
     out = _auto_final_bias(engine, state, {"final_bias_prior": 0.1}, masks,
                            verbose=False)
     assert out is state
+
+
+def test_auto_bias_scoped_to_ce_family_losses():
+    """Region-term losses (dice/combo/tversky…) escape all-background on
+    their own, and the prior measurably DELAYS their crossing of the 0.5
+    threshold (IoU 0.26 vs 0.0 after 5 epochs on the synthetic fixture) —
+    so the auto prior must only fire for the CE family."""
+    engine = get_engine({"backbone": "resnet_tiny", "use_attention": False,
+                         "loss_fn": "combo"})
+    state = engine.init_state(jax.random.key(0), (1, 32, 32, 1), 1e-3, 0.0)
+    masks = jnp.zeros((4, 32, 32, 1)).at[:, :8, :8, :].set(1.0)
+    for loss in ("combo", "dice", "tversky", "triple_combo"):
+        assert _auto_final_bias(engine, state, {"loss_fn": loss}, masks,
+                                verbose=False) is state
+    # default (no loss_fn key) is combo → skipped as well
+    assert _auto_final_bias(engine, state, {}, masks,
+                            verbose=False) is state
+    for loss in ("bce", "weighted_bce", "focal"):
+        out = _auto_final_bias(engine, state, {"loss_fn": loss}, masks,
+                               verbose=False)
+        assert out is not state
+        b = np.asarray(out.params["conv_final"]["bias"])
+        np.testing.assert_allclose(b, np.log((1 / 16) / (15 / 16)),
+                                   rtol=1e-6)
 
 
 def test_bce_from_scratch_escapes_all_background():

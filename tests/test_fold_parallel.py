@@ -124,13 +124,11 @@ def test_early_stop_per_fold(canonical):
 
 
 def test_multi_device_folds_match_single_device(canonical):
-    """Folds laid out across 2 devices — stream placement (fold k on
-    device k) and vmap mesh-sharding (shard_folds) — produce the same
-    training results as the single-device run: fold parallelism over
-    chips needs zero collectives, so the layout must be semantically
-    invisible."""
+    """Folds placed across 2 devices (stream strategy, fold k on device
+    k) produce the same training results as the single-device run: fold
+    parallelism over chips needs zero collectives, so the placement must
+    be semantically invisible."""
     import jax
-    from segtpu.core.dist import create_mesh
     from segtpu.train.loop import _materialize
 
     ci, cm = canonical
@@ -146,20 +144,19 @@ def test_multi_device_folds_match_single_device(canonical):
     base = train_folds_parallel(arrays, cfg, seeds=[0, 1000])
     placed = train_folds_parallel(arrays, cfg, seeds=[0, 1000],
                                   devices=jax.devices()[:2])
-    mesh = create_mesh((2,), ("data",), devices=jax.devices()[:2])
-    sharded = train_folds_parallel(arrays, cfg, seeds=[0, 1000], mesh=mesh)
+    assert {d.id for d in jax.tree.leaves(placed[1]["state"].params)[0]
+            .devices()} == {1}  # fold 1 really lives on device 1
 
-    for other in (placed, sharded):
-        for b, s in zip(base, other):
-            for e, (bm, sm) in enumerate(zip(b["val_metrics"],
-                                             s["val_metrics"])):
-                assert bm["loss"] == pytest.approx(sm["loss"], abs=2e-3), e
-                assert bm["iou"] == pytest.approx(sm["iou"], abs=1e-2), e
-            assert b["lr_history"] == pytest.approx(s["lr_history"])
+    for b, s in zip(base, placed):
+        for e, (bm, sm) in enumerate(zip(b["val_metrics"],
+                                         s["val_metrics"])):
+            assert bm["loss"] == pytest.approx(sm["loss"], abs=2e-3), e
+            assert bm["iou"] == pytest.approx(sm["iou"], abs=1e-2), e
+        assert b["lr_history"] == pytest.approx(s["lr_history"])
 
-    with pytest.raises(ValueError, match="divide evenly"):
-        mesh3 = create_mesh((3,), ("data",), devices=jax.devices()[:3])
-        train_folds_parallel(arrays, cfg, seeds=[0, 1000], mesh=mesh3)
+    with pytest.raises(ValueError, match="strategy"):
+        train_folds_parallel(arrays, cfg, seeds=[0, 1000],
+                             strategy="bogus")
 
 
 def test_forward_selection_fold_parallel(tmp_path, monkeypatch):
