@@ -161,6 +161,19 @@ class Segmenter:
                                 opt_state=None)
         return self
 
+    def export(self, path: str, batch: Optional[int] = None,
+               platforms: Optional[Sequence[str]] = None) -> str:
+        """Write a self-contained AOT serving artifact (StableHLO via
+        jax.export, weights baked in, symbolic batch by default) loadable
+        with ``segtpu.infer.load_serving`` — no model code needed at the
+        deployment site. See segtpu/infer/export.py."""
+        from segtpu.infer.export import save_serving
+        state = self._require_state()
+        return save_serving(path, self.engine.model, state.params,
+                            state.batch_stats,
+                            tuple(self.config["img_size"]),
+                            batch=batch, platforms=platforms)
+
     def load_pretrained_encoder(self, checkpoint_path: str) -> "Segmenter":
         """pretrained=True path: overlay torchvision encoder weights from a
         local torch checkpoint (advanced_models.py:73-139 behavior)."""

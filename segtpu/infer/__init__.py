@@ -4,3 +4,9 @@ from segtpu.infer.tiled import (
     make_tiled_predictor_many,
 )
 from segtpu.infer.predict import predict, predict_proba
+from segtpu.infer.export import (
+    ServingModel,
+    export_serving,
+    load_serving,
+    save_serving,
+)

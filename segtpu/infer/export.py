@@ -1,0 +1,149 @@
+"""AOT serving export — the fitted model as a portable StableHLO artifact.
+
+Production-deployment surface the reference does not have (its only
+persistence is a ``torch.save(state_dict)`` helper, utils.py:192-195,
+which requires the full model source tree at load time). Here the entire
+inference graph — normalized input → U-Net forward (inference BN) →
+sigmoid — is serialized with ``jax.export``:
+
+- **weights are baked in** as constants: one self-contained artifact,
+  no segtpu model code or Python class needed to serve it;
+- the batch dimension is exported **symbolically** by default, so one
+  artifact serves any batch size (shape polymorphism);
+- the artifact can be lowered for several platforms at once
+  (``platforms=("tpu", "cpu")``) and runs under ``jax.jit`` on whichever
+  backend loads it — TPU pods and CPU canaries serve the same bytes.
+
+Format: a directory with ``model.stablehlo`` (the serialized
+``jax.export.Exported``) and ``meta.json`` (image size, dtype, platforms,
+format version) for tooling that wants to introspect without JAX.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+FORMAT_VERSION = 1
+_ARTIFACT = "model.stablehlo"
+_META = "meta.json"
+
+
+def make_serving_fn(model, params, batch_stats, with_sigmoid: bool = True):
+    """The inference graph served in production: model forward in eval mode
+    (running BN stats, advanced_models.py:283-357 contract) plus the
+    sigmoid the reference applies at prediction time (utils.py:105-108).
+    Weights are closed over, so ``jax.export`` bakes them into the
+    artifact as constants."""
+
+    def serve(x):
+        logits = model.apply({"params": params, "batch_stats": batch_stats},
+                             x, train=False)
+        if with_sigmoid:
+            return jax.nn.sigmoid(logits.astype(jnp.float32))
+        return logits.astype(jnp.float32)
+
+    return serve
+
+
+def export_serving(model, params, batch_stats,
+                   img_size: Tuple[int, int],
+                   batch: Optional[int] = None,
+                   dtype=jnp.float32,
+                   platforms: Optional[Sequence[str]] = None,
+                   with_sigmoid: bool = True) -> "jax_export.Exported":
+    """Export the model's serving graph.
+
+    ``batch=None`` (default) exports a symbolic batch dimension — the
+    artifact accepts any leading batch size. ``platforms=None`` exports
+    for the current default backend; pass e.g. ``("tpu", "cpu")`` for a
+    multi-platform artifact."""
+    serve = jax.jit(make_serving_fn(model, params, batch_stats,
+                                    with_sigmoid=with_sigmoid))
+    if batch is None:
+        (b,) = jax_export.symbolic_shape("b")
+        shape = (b, *img_size, 1)
+    else:
+        shape = (int(batch), *img_size, 1)
+    spec = jax.ShapeDtypeStruct(shape, dtype)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    return jax_export.export(serve, **kwargs)(spec)
+
+
+def save_serving(path: str, model, params, batch_stats,
+                 img_size: Tuple[int, int],
+                 batch: Optional[int] = None,
+                 dtype=jnp.float32,
+                 platforms: Optional[Sequence[str]] = None) -> str:
+    """Export and write the serving artifact directory; returns ``path``."""
+    exp = export_serving(model, params, batch_stats, img_size, batch=batch,
+                         dtype=dtype, platforms=platforms)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _ARTIFACT), "wb") as f:
+        f.write(exp.serialize())
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "img_size": list(img_size),
+        "batch": batch,
+        "dtype": jnp.dtype(dtype).name,
+        "platforms": list(exp.platforms),
+        "input": "normalized float (N, H, W, 1), values in [0, 1]",
+        "output": "sigmoid probabilities (N, H, W, n_classes) float32",
+    }
+    with open(os.path.join(path, _META), "w") as f:
+        json.dump(meta, f, indent=2)
+    return path
+
+
+class ServingModel:
+    """A deployed artifact: loads the serialized graph and serves batches.
+
+    Needs only JAX — no segtpu model code, no flax, no checkpoint
+    reconstruction::
+
+        sm = ServingModel("artifact_dir")
+        probs = sm.predict_proba(batch)       # any batch size
+        masks = sm.predict(batch)             # 0.5-threshold uint8
+    """
+
+    def __init__(self, path: str):
+        with open(os.path.join(path, _META)) as f:
+            self.meta: Dict = json.load(f)
+        if self.meta.get("format_version", 0) > FORMAT_VERSION:
+            raise ValueError(
+                f"artifact format {self.meta['format_version']} is newer "
+                f"than this library supports ({FORMAT_VERSION})")
+        with open(os.path.join(path, _ARTIFACT), "rb") as f:
+            self._exported = jax_export.deserialize(f.read())
+        self._call = jax.jit(self._exported.call)
+        self.img_size = tuple(self.meta["img_size"])
+
+    def predict_proba(self, images) -> np.ndarray:
+        """(N, H, W[, 1]) normalized float images → (N, H, W, C) float32
+        sigmoid probabilities."""
+        x = jnp.asarray(images)
+        if x.ndim == 3:
+            x = x[..., None]
+        if tuple(x.shape[1:3]) != self.img_size:
+            raise ValueError(
+                f"expected {self.img_size} images, got {x.shape[1:3]} — "
+                f"resize/preprocess to the exported size first")
+        x = x.astype(jnp.dtype(self.meta["dtype"]))
+        return np.asarray(self._call(x))
+
+    def predict(self, images, threshold: float = 0.5) -> np.ndarray:
+        """Binary masks at the reference's 0.5 threshold (utils.py:108)."""
+        return (self.predict_proba(images) > threshold).astype(np.uint8)
+
+
+def load_serving(path: str) -> ServingModel:
+    return ServingModel(path)

@@ -1,0 +1,108 @@
+"""AOT serving export (segtpu/infer/export.py): the serialized StableHLO
+artifact must reproduce the live model's predictions exactly, accept any
+batch size through the symbolic batch dimension, and round-trip through
+disk + the Segmenter.export high-level path."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from segtpu.infer.export import (ServingModel, export_serving, load_serving,
+                                 save_serving)
+from segtpu.models import UNetWithBackbone, create_model_state
+
+SIZE = 32
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model = UNetWithBackbone(backbone="resnet34", use_attention=True)
+    params, batch_stats = create_model_state(
+        model, jax.random.key(0), (1, SIZE, SIZE, 1))
+    return model, params, batch_stats
+
+
+def _live_probs(model, params, batch_stats, x):
+    logits = model.apply({"params": params, "batch_stats": batch_stats},
+                         x, train=False)
+    return np.asarray(jax.nn.sigmoid(logits.astype(jnp.float32)))
+
+
+def test_export_matches_live_model_any_batch(small_model, tmp_path):
+    model, params, batch_stats = small_model
+    path = save_serving(str(tmp_path / "art"), model, params, batch_stats,
+                        (SIZE, SIZE))
+    sm = load_serving(path)
+
+    rng = np.random.default_rng(0)
+    for batch in (1, 3, 5):
+        x = rng.random((batch, SIZE, SIZE, 1), np.float32)
+        got = sm.predict_proba(x)
+        want = _live_probs(model, params, batch_stats, jnp.asarray(x))
+        assert got.shape == (batch, SIZE, SIZE, 1)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_artifact_is_self_contained(small_model, tmp_path):
+    """The artifact loads and serves through jax.export alone — no flax
+    model reconstruction (weights are baked-in constants)."""
+    model, params, batch_stats = small_model
+    path = save_serving(str(tmp_path / "art"), model, params, batch_stats,
+                        (SIZE, SIZE))
+    from jax import export as jax_export
+    with open(os.path.join(path, "model.stablehlo"), "rb") as f:
+        exp = jax_export.deserialize(f.read())
+    x = np.full((2, SIZE, SIZE, 1), 0.5, np.float32)
+    out = np.asarray(jax.jit(exp.call)(x))
+    np.testing.assert_allclose(
+        out, _live_probs(model, params, batch_stats, jnp.asarray(x)),
+        atol=1e-6)
+    meta = json.load(open(os.path.join(path, "meta.json")))
+    assert meta["img_size"] == [SIZE, SIZE]
+    assert meta["format_version"] >= 1
+
+
+def test_serving_model_validates_input(small_model, tmp_path):
+    model, params, batch_stats = small_model
+    path = save_serving(str(tmp_path / "art"), model, params, batch_stats,
+                        (SIZE, SIZE))
+    sm = ServingModel(path)
+    with pytest.raises(ValueError, match="resize"):
+        sm.predict_proba(np.zeros((1, SIZE * 2, SIZE * 2, 1), np.float32))
+    # 3-D input grows a channel axis; binary predict thresholds at 0.5
+    masks = sm.predict(np.zeros((2, SIZE, SIZE), np.float32))
+    assert masks.dtype == np.uint8 and set(np.unique(masks)) <= {0, 1}
+
+
+def test_fixed_batch_export(small_model, tmp_path):
+    model, params, batch_stats = small_model
+    exp = export_serving(model, params, batch_stats, (SIZE, SIZE), batch=2)
+    x = np.zeros((2, SIZE, SIZE, 1), np.float32)
+    out = np.asarray(exp.call(x))
+    assert out.shape == (2, SIZE, SIZE, 1)
+    with pytest.raises(Exception):
+        exp.call(np.zeros((3, SIZE, SIZE, 1), np.float32))
+
+
+def test_segmenter_export_roundtrip(tmp_path):
+    """High-level path: fit-free Segmenter state → export → serve."""
+    import segtpu
+
+    seg = segtpu.Segmenter(backbone="resnet34", use_attention=False,
+                           config={"img_size": (SIZE, SIZE)})
+    # install a fresh state without training (export needs only weights)
+    params, batch_stats = create_model_state(
+        seg.engine.model, jax.random.key(1), (1, SIZE, SIZE, 1))
+    from segtpu.train.engine import TrainState
+    seg.state = TrainState(params=params, batch_stats=batch_stats,
+                           opt_state=None)
+    path = seg.export(str(tmp_path / "served"))
+    sm = load_serving(path)
+    x = np.random.default_rng(1).random((4, SIZE, SIZE, 1), np.float32)
+    np.testing.assert_allclose(
+        sm.predict_proba(x), np.asarray(seg.predict_proba(x)), atol=1e-6)
