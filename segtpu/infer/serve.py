@@ -1,0 +1,112 @@
+"""Minimal HTTP inference server over an exported serving artifact.
+
+Completes the deployment story of segtpu/infer/export.py: a host with
+only JAX + numpy (no segtpu model code, no flax, no torch) loads the
+StableHLO artifact and serves it. Stdlib-only (http.server), so it runs
+in any container this framework runs in.
+
+Protocol (binary, zero-copy-friendly — JSON image payloads would be
+~4× the bytes):
+
+- ``GET /health``  → 200, JSON ``{"status": "ok", ...artifact meta}``
+- ``POST /predict`` with an ``.npy`` body (``numpy.save`` of a
+  ``(N, H, W[, 1])`` float array, normalized like the model's training
+  inputs) → 200, ``.npy`` body of float32 sigmoid probabilities
+  ``(N, H, W, C)``.
+- ``POST /predict?threshold=0.5`` → ``.npy`` uint8 binary masks instead.
+
+Batching is the client's job (the artifact's symbolic batch dimension
+accepts any N); the server itself is intentionally a thin, dependency-
+free adapter — front it with a real load balancer in production.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Tuple
+
+import numpy as np
+
+from segtpu.infer.export import ServingModel
+
+_MAX_BODY = 1 << 30  # 1 GiB request cap
+
+
+def make_server(artifact_dir: str, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server; ``port=0`` picks a free
+    port (``server.server_address[1]``). Call ``serve_forever()`` or
+    drive it from a thread in tests."""
+    model = ServingModel(artifact_dir)
+
+    class Handler(BaseHTTPRequestHandler):
+        # quiet by default; tooling can override
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code: int, obj) -> None:
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):  # noqa: N802
+            if self.path.split("?")[0] == "/health":
+                self._send_json(200, {"status": "ok", **model.meta})
+            else:
+                self._send_json(404, {"error": "unknown path"})
+
+        def do_POST(self):  # noqa: N802
+            path, _, query = self.path.partition("?")
+            if path != "/predict":
+                self._send_json(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                if not 0 < n <= _MAX_BODY:
+                    raise ValueError(f"bad Content-Length {n}")
+                arr = np.load(io.BytesIO(self.rfile.read(n)),
+                              allow_pickle=False)
+                threshold = _query_threshold(query)
+                if threshold is None:
+                    out = model.predict_proba(arr)
+                else:
+                    out = model.predict(arr, threshold=threshold)
+                buf = io.BytesIO()
+                np.save(buf, out)
+                self._send(200, buf.getvalue(), "application/octet-stream")
+            except Exception as e:  # client error surface
+                self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.artifact_meta = model.meta  # introspection for tooling
+    return server
+
+
+def _query_threshold(query: str) -> Optional[float]:
+    for part in query.split("&"):
+        k, _, v = part.partition("=")
+        if k == "threshold" and v:
+            return float(v)
+    return None
+
+
+def client_predict(url: str, images: np.ndarray,
+                   threshold: Optional[float] = None,
+                   timeout: float = 60.0) -> np.ndarray:
+    """Tiny stdlib client for the protocol above (also used by tests)."""
+    from urllib.request import Request, urlopen
+
+    buf = io.BytesIO()
+    np.save(buf, np.asarray(images))
+    q = f"?threshold={threshold}" if threshold is not None else ""
+    req = Request(f"{url}/predict{q}", data=buf.getvalue(),
+                  headers={"Content-Type": "application/octet-stream"})
+    with urlopen(req, timeout=timeout) as resp:
+        return np.load(io.BytesIO(resp.read()), allow_pickle=False)

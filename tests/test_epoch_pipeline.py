@@ -139,9 +139,13 @@ def test_train_model_pipelined_matches_per_epoch(blob_data):
                 "seed": 3, "verbose": False, "scheduler_patience": 1,
                 "early_stopping_patience": 3,
                 "early_stopping_min_delta": 0.05}
+    # threshold 0.3 (relative): an epoch only counts as "good" on a 30%
+    # relative IoU gain, so plateau cuts are guaranteed within the run
+    # whatever the training trajectory — the comparison must exercise a
+    # real mid-run LR event, not just the happy path.
     sched = lambda: ReduceLROnPlateau(initial_lr=1e-3, mode="max",
                                       factor=0.5, patience=1,
-                                      threshold=1e-4, min_lr=1e-6)
+                                      threshold=0.3, min_lr=1e-6)
     runs = []
     for pipeline in (1, 4):
         cfg = dict(base_cfg, pipeline_epochs=pipeline)

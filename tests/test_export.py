@@ -89,6 +89,47 @@ def test_fixed_batch_export(small_model, tmp_path):
         exp.call(np.zeros((3, SIZE, SIZE, 1), np.float32))
 
 
+def test_http_serving_roundtrip(small_model, tmp_path):
+    """The stdlib HTTP server (segtpu/infer/serve.py) serves the artifact:
+    health check exposes the meta, /predict round-trips .npy bodies and
+    matches the in-process ServingModel exactly, thresholded masks and
+    malformed requests behave."""
+    import json as _json
+    import threading
+    from urllib.request import urlopen
+    from urllib.error import HTTPError
+
+    from segtpu.infer.serve import client_predict, make_server
+
+    model, params, batch_stats = small_model
+    path = save_serving(str(tmp_path / "art"), model, params, batch_stats,
+                        (SIZE, SIZE))
+    server = make_server(path)  # port 0 → ephemeral
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{port}"
+        health = _json.load(urlopen(f"{url}/health", timeout=30))
+        assert health["status"] == "ok" and health["img_size"] == [SIZE, SIZE]
+
+        x = np.random.default_rng(2).random((3, SIZE, SIZE, 1), np.float32)
+        got = client_predict(url, x)
+        want = ServingModel(path).predict_proba(x)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+        masks = client_predict(url, x, threshold=0.5)
+        assert masks.dtype == np.uint8
+        np.testing.assert_array_equal(masks, (want > 0.5).astype(np.uint8))
+
+        with pytest.raises(HTTPError) as ei:
+            client_predict(url, np.zeros((1, 7, 7, 1), np.float32))
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_segmenter_export_roundtrip(tmp_path):
     """High-level path: fit-free Segmenter state → export → serve."""
     import segtpu

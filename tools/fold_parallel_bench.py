@@ -9,7 +9,8 @@ the reported ratio is the end-to-end CV wall-time win, which includes
 both the stacked-dispatch compute win and the Kx reduction in per-epoch
 host<->device fetches (~1 s RTT each through the relay).
 
-Usage: python tools/fold_parallel_bench.py [epochs] [n_images]
+Usage: python tools/fold_parallel_bench.py [epochs] [n_images] [modes]
+``modes`` is a comma list of sequential/stream/vmap (default all).
 """
 
 from __future__ import annotations
@@ -47,9 +48,12 @@ def main():
     kw = dict(data_dir=DATA_DIR, image_type="W", n_splits=5,
               random_state=42, augmentations_per_image=3, verbose=False)
 
+    wanted = (sys.argv[3].split(",") if len(sys.argv) > 3
+              else ["sequential", "stream", "vmap"])
     out = {}
     modes = [("sequential", False, None), ("stream", True, "stream"),
              ("vmap", True, "vmap")]
+    modes = [m for m in modes if m[0] in wanted]
     for mode, fp, strat in modes:
         cv = CrossValidator(fold_parallel=fp, **kw)
         cfg = dict(config)
@@ -68,10 +72,12 @@ def main():
         print(f"{mode}: {dt:.1f}s  IoU {out[mode]['iou_mean']:.4f} "
               f"± {out[mode]['iou_std']:.4f}", flush=True)
 
-    out["stream_speedup"] = round(out["sequential"]["secs"]
-                                  / out["stream"]["secs"], 2)
-    out["vmap_speedup"] = round(out["sequential"]["secs"]
-                                / out["vmap"]["secs"], 2)
+    if "sequential" in out and "stream" in out:
+        out["stream_speedup"] = round(out["sequential"]["secs"]
+                                      / out["stream"]["secs"], 2)
+    if "sequential" in out and "vmap" in out:
+        out["vmap_speedup"] = round(out["sequential"]["secs"]
+                                    / out["vmap"]["secs"], 2)
     out["epochs"] = epochs
     print(json.dumps(out))
 
