@@ -130,6 +130,32 @@ def test_http_serving_roundtrip(small_model, tmp_path):
         server.server_close()
 
 
+def test_exported_artifact_composes_with_tiled_inference(small_model,
+                                                         tmp_path):
+    """Large-image serving without model code: a logits artifact (export
+    with_sigmoid=False at the tile size) plugs straight into the tiled
+    sliding-window predictor and matches the live-model tiled path."""
+    from segtpu.infer.export import export_serving
+    from segtpu.infer.tiled import make_tiled_predictor
+
+    model, params, batch_stats = small_model
+    exp = export_serving(model, params, batch_stats, (SIZE, SIZE),
+                         with_sigmoid=False)
+    served = jax.jit(exp.call)
+
+    big = jnp.asarray(
+        np.random.default_rng(3).random((3 * SIZE, 2 * SIZE, 1), np.float32))
+
+    def live_apply(x):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           x, train=False)
+
+    kw = dict(tile=SIZE, overlap=8, batch_tiles=4)
+    want = np.asarray(make_tiled_predictor(live_apply, **kw)(big))
+    got = np.asarray(make_tiled_predictor(served, **kw)(big))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_segmenter_export_roundtrip(tmp_path):
     """High-level path: fit-free Segmenter state → export → serve."""
     import segtpu
