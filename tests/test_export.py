@@ -79,6 +79,24 @@ def test_serving_model_validates_input(small_model, tmp_path):
     assert masks.dtype == np.uint8 and set(np.unique(masks)) <= {0, 1}
 
 
+def test_multiplatform_export_runs_on_cpu(tmp_path):
+    """platforms=("tpu","cpu") lowers for both at export time — no TPU
+    needed to produce the artifact — and the CPU side executes it and
+    matches the live model (the 'TPU pods and CPU canaries serve the same
+    bytes' property, docs/DEPLOYMENT.md)."""
+    model = UNetWithBackbone(backbone="resnet_tiny", use_attention=False)
+    params, batch_stats = create_model_state(
+        model, jax.random.key(0), (1, SIZE, SIZE, 1))
+    path = save_serving(str(tmp_path / "art"), model, params, batch_stats,
+                        (SIZE, SIZE), platforms=("tpu", "cpu"))
+    sm = load_serving(path)
+    assert sm.meta["platforms"] == ["tpu", "cpu"]
+    x = np.random.default_rng(5).random((2, SIZE, SIZE, 1), np.float32)
+    np.testing.assert_allclose(
+        sm.predict_proba(x),
+        _live_probs(model, params, batch_stats, jnp.asarray(x)), atol=1e-6)
+
+
 def test_fixed_batch_export(small_model, tmp_path):
     model, params, batch_stats = small_model
     exp = export_serving(model, params, batch_stats, (SIZE, SIZE), batch=2)
