@@ -108,6 +108,25 @@ def get_cpu_baseline() -> float:
 
 
 def main():
+    # Watchdog on the FIRST device op only: a dead TPU relay makes every
+    # device_get hang forever (observed: multi-hour tunnel outage). Probe
+    # liveness with a bounded trivial op so the driver records a
+    # diagnosable error instead of an output-less timeout; the real
+    # measurement below runs unbounded (legitimately slow on cold caches).
+    import signal
+
+    def _alarm(signum, frame):
+        print("bench.py: TPU/relay unresponsive for 600s — aborting "
+              "(tunnel down?)", file=sys.stderr)
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(600)
+    import jax
+    import jax.numpy as jnp
+    jax.device_get(jnp.zeros(()) + 1.0)  # end-to-end relay round trip
+    signal.alarm(0)
+
     value, mfu = measure_tpu_throughput()
     try:
         baseline = get_cpu_baseline()
