@@ -113,19 +113,24 @@ def main():
     # liveness with a bounded trivial op so the driver records a
     # diagnosable error instead of an output-less timeout; the real
     # measurement below runs unbounded (legitimately slow on cold caches).
-    import signal
+    # A SIGALRM handler would NOT fire here — the main thread blocks
+    # inside one C++ device_get call and never returns to the bytecode
+    # loop — so the kill comes from a daemon timer thread.
+    import threading
 
-    def _alarm(signum, frame):
+    def _dead():
         print("bench.py: TPU/relay unresponsive for 600s — aborting "
               "(tunnel down?)", file=sys.stderr)
+        sys.stderr.flush()
         os._exit(3)
 
-    signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(600)
+    watchdog = threading.Timer(600, _dead)
+    watchdog.daemon = True
+    watchdog.start()
     import jax
     import jax.numpy as jnp
     jax.device_get(jnp.zeros(()) + 1.0)  # end-to-end relay round trip
-    signal.alarm(0)
+    watchdog.cancel()
 
     value, mfu = measure_tpu_throughput()
     try:

@@ -137,6 +137,10 @@ class ServingModel:
             raise ValueError(
                 f"expected {self.img_size} images, got {x.shape[1:3]} — "
                 f"resize/preprocess to the exported size first")
+        if x.ndim != 4 or x.shape[-1] != 1:
+            raise ValueError(
+                f"expected grayscale (N, H, W[, 1]) input, got {x.shape} — "
+                f"the artifact was exported for 1-channel images")
         x = x.astype(jnp.dtype(self.meta["dtype"]))
         return np.asarray(self._call(x))
 

@@ -67,6 +67,9 @@ def make_server(artifact_dir: str, host: str = "127.0.0.1",
             if path != "/predict":
                 self._send_json(404, {"error": "unknown path"})
                 return
+            # 400 for malformed requests, 500 for backend faults — load
+            # balancers must see server-side failures (relay down, OOM)
+            # as 5xx, not as unretryable client errors.
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 if not 0 < n <= _MAX_BODY:
@@ -74,15 +77,23 @@ def make_server(artifact_dir: str, host: str = "127.0.0.1",
                 arr = np.load(io.BytesIO(self.rfile.read(n)),
                               allow_pickle=False)
                 threshold = _query_threshold(query)
+            except Exception as e:
+                self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            try:
                 if threshold is None:
                     out = model.predict_proba(arr)
                 else:
                     out = model.predict(arr, threshold=threshold)
-                buf = io.BytesIO()
-                np.save(buf, out)
-                self._send(200, buf.getvalue(), "application/octet-stream")
-            except Exception as e:  # client error surface
+            except ValueError as e:   # input validation (size/channels)
                 self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            except Exception as e:    # backend fault
+                self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            buf = io.BytesIO()
+            np.save(buf, out)
+            self._send(200, buf.getvalue(), "application/octet-stream")
 
     server = ThreadingHTTPServer((host, port), Handler)
     server.artifact_meta = model.meta  # introspection for tooling
@@ -90,11 +101,9 @@ def make_server(artifact_dir: str, host: str = "127.0.0.1",
 
 
 def _query_threshold(query: str) -> Optional[float]:
-    for part in query.split("&"):
-        k, _, v = part.partition("=")
-        if k == "threshold" and v:
-            return float(v)
-    return None
+    from urllib.parse import parse_qs
+    vals = parse_qs(query).get("threshold")
+    return float(vals[0]) if vals else None
 
 
 def client_predict(url: str, images: np.ndarray,

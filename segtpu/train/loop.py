@@ -235,8 +235,11 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
     # ALL its metric totals in ONE device_get divides the RTT bill by the
     # window size with ZERO mis-speculation — numerics are bit-identical to
     # the per-epoch loop (same programs, same inputs, same key chain).
-    # `pipeline_epochs` caps the window (each in-flight epoch keeps one
-    # extra TrainState live on device); 1 disables pipelining.
+    # `pipeline_epochs` caps the window; 1 disables pipelining. Memory:
+    # each in-flight epoch pins its params/batch_stats snapshot plus its
+    # queued program's inputs (a shuffled dataset view) until it runs —
+    # at HBM-tight scales (512² flagship training) set pipeline_epochs
+    # to 1-2.
     pipeline = max(1, int(config.get("pipeline_epochs", 4)))
 
     shuffle_key = jax.random.key(seed + 1)
@@ -248,16 +251,22 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
         h = min(pipeline, num_epochs - epoch,
                 early_stopping.safe_horizon())
         if scheduler is not None:
-            h = min(h, scheduler.safe_horizon())
+            # duck-typed schedulers (only .step()) pipeline at depth 1 —
+            # their event timing is unknowable ahead of the metrics
+            h = min(h, getattr(scheduler, "safe_horizon", lambda: 1)())
         window = []
         for _ in range(h):
             shuffle_key, sk = jax.random.split(shuffle_key)
             state, tt, vt = engine.run_train_and_eval_epoch_async(
                 state, train_loader, val_loader, lr, sk)
-            window.append((state, tt, vt))
+            # retain only what the controllers need (params/batch_stats
+            # for best-weight snapshots, the metric totals): holding each
+            # in-flight epoch's full TrainState would pin h Adam moment
+            # sets for no reader
+            window.append((state.params, state.batch_stats, tt, vt))
         # ONE host↔device sync for the whole window
-        fetched = jax.device_get([(tt, vt) for _, tt, vt in window])
-        for (wstate, _, _), (tvals, vvals) in zip(window, fetched):
+        fetched = jax.device_get([(tt, vt) for _, _, tt, vt in window])
+        for (wparams, wstats, _, _), (tvals, vvals) in zip(window, fetched):
             train_metrics = dict(zip(
                 METRIC_KEYS, map(float, np.asarray(tvals) / train_loader.n)))
             val_metrics = dict(zip(
@@ -294,7 +303,7 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
 
             if val_metrics["iou"] > best_iou:
                 best_iou = val_metrics["iou"]
-                best_state = (wstate.params, wstate.batch_stats)
+                best_state = (wparams, wstats)
                 best_epoch = epoch
 
             epoch += 1
@@ -302,7 +311,10 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
                 if verbose:
                     print(f"Early stopping triggered at epoch {epoch}")
                 stopped = True
-                state = wstate  # by the horizon bound this is window[-1]
+                # by the horizon bound this is the last window epoch, so
+                # `state` (the dispatch chain tail) already holds it; the
+                # replace is defensive for a mid-window stop
+                state = state.replace(params=wparams, batch_stats=wstats)
                 break
 
     time_elapsed = time.time() - start_time

@@ -74,6 +74,8 @@ def test_serving_model_validates_input(small_model, tmp_path):
     sm = ServingModel(path)
     with pytest.raises(ValueError, match="resize"):
         sm.predict_proba(np.zeros((1, SIZE * 2, SIZE * 2, 1), np.float32))
+    with pytest.raises(ValueError, match="1-channel"):
+        sm.predict_proba(np.zeros((1, SIZE, SIZE, 3), np.float32))  # RGB
     # 3-D input grows a channel axis; binary predict thresholds at 0.5
     masks = sm.predict(np.zeros((2, SIZE, SIZE), np.float32))
     assert masks.dtype == np.uint8 and set(np.unique(masks)) <= {0, 1}
