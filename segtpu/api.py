@@ -146,20 +146,63 @@ class Segmenter:
     # ------------------------------------------------------- persistence
 
     def save(self, path: str, name: str = "segmenter") -> str:
+        """Checkpoint weights (Orbax) plus a JSON sidecar with the model
+        config, so a checkpoint is self-describing: ``from_checkpoint``
+        rebuilds the right architecture without the caller re-specifying
+        backbone/attention/img_size."""
+        import json
+        import os
         from segtpu.train.checkpoint import save_checkpoint
         state = self._require_state()
-        return save_checkpoint(path, {"params": state.params,
-                                      "batch_stats": state.batch_stats,
-                                      "config": {}}, name=name)
+        out = save_checkpoint(path, {"params": state.params,
+                                     "batch_stats": state.batch_stats,
+                                     "config": {}}, name=name)
+        cfg = {k: (list(v) if isinstance(v, tuple) else v)
+               for k, v in self.config.items()
+               if isinstance(v, (str, int, float, bool, list, tuple))
+               or v is None}
+        with open(os.path.join(path, f"{name}_config.json"), "w") as f:
+            json.dump(cfg, f, indent=2)
+        return out
 
     def load(self, path: str, name: str = "segmenter") -> "Segmenter":
+        """Restore weights saved by :meth:`save`. If the sidecar config is
+        present and names a different architecture, the engine is rebuilt
+        to match (older checkpoints without a sidecar load as before)."""
+        import json
+        import os
         from segtpu.train.checkpoint import load_checkpoint
+        cfg_path = os.path.join(path, f"{name}_config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                cfg = json.load(f)
+            if "img_size" in cfg:
+                cfg["img_size"] = tuple(cfg["img_size"])
+            self.config.update(cfg)
+            self.engine = get_engine(self.config)
         restored = load_checkpoint(path, name=name)
         params = jax.tree.map(jnp.asarray, restored["params"])
         stats = jax.tree.map(jnp.asarray, restored["batch_stats"])
         self.state = TrainState(params=params, batch_stats=stats,
                                 opt_state=None)
         return self
+
+    @classmethod
+    def from_checkpoint(cls, path: str, name: str = "segmenter"
+                        ) -> "Segmenter":
+        """One-call restore: architecture from the checkpoint's config
+        sidecar, weights from Orbax."""
+        import json
+        import os
+        cfg_path = os.path.join(path, f"{name}_config.json")
+        kw = {}
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                cfg = json.load(f)
+            kw = {k: cfg[k] for k in
+                  ("backbone", "use_attention", "n_classes") if k in cfg}
+            kw["config"] = cfg
+        return cls(**kw).load(path, name=name)
 
     def export(self, path: str, batch: Optional[int] = None,
                platforms: Optional[Sequence[str]] = None) -> str:

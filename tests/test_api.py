@@ -62,6 +62,28 @@ def test_save_load_roundtrip(fitted, tmp_path):
     np.testing.assert_allclose(before, after, atol=1e-6)
 
 
+def test_from_checkpoint_is_self_describing(fitted, tmp_path):
+    """The checkpoint's JSON sidecar carries the architecture: restoring
+    needs no backbone/img_size re-specification, and a mismatched default
+    construction gets corrected by load()."""
+    seg, data = fitted
+    before = seg.predict_proba(data["image_paths"][:2])
+    seg.save(str(tmp_path))
+
+    restored = Segmenter.from_checkpoint(str(tmp_path))
+    assert restored.config["backbone"] == "resnet34"
+    assert restored.config["use_attention"] is False
+    assert tuple(restored.config["img_size"]) == (32, 32)
+    np.testing.assert_allclose(
+        restored.predict_proba(data["image_paths"][:2]), before, atol=1e-6)
+
+    # load() on a differently-configured instance rebuilds the engine
+    wrong = Segmenter(backbone="resnet34", use_attention=True)  # mismatched
+    wrong.load(str(tmp_path))
+    np.testing.assert_allclose(
+        wrong.predict_proba(data["image_paths"][:2]), before, atol=1e-6)
+
+
 def test_predict_tiled(fitted):
     seg, _ = fitted
     big = np.random.default_rng(0).random((96, 96)).astype(np.float32)
