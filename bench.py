@@ -8,6 +8,14 @@ the reference-equivalent PyTorch model on this machine's CPU
 reference CPU). The CPU baseline is measured once and cached in
 BASELINE_LOCAL.json.
 
+Outage resilience (the TPU is reached through a relay with observed
+multi-hour outages, see CLAUDE.md): the relay is probed in a bounded
+subprocess and retried for BENCH_RETRY_WINDOW seconds before giving up.
+Every successful measurement is cached in BENCH_LAST_GOOD.json; if the
+relay never comes back inside the window, the cached measurement is
+emitted with ``"stale": true`` + its original timestamp so one outage
+cannot zero a round's perf record.
+
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
@@ -16,15 +24,23 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 SIZE = 512
-BATCH = 128  # measured best throughput point on v5e (1883 img/s; see PERF.md)
+BATCH = 128  # measured best throughput point on v5e (2020 img/s; see PERF.md)
 WARMUP = 3
 ITERS = 6
-BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "BASELINE_LOCAL.json")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(_HERE, "BASELINE_LOCAL.json")
+LAST_GOOD = os.path.join(_HERE, "BENCH_LAST_GOOD.json")
+
+# Relay-outage handling knobs (env-overridable).
+PROBE_TIMEOUT = int(os.environ.get("BENCH_PROBE_TIMEOUT", "90"))
+RETRY_INTERVAL = int(os.environ.get("BENCH_RETRY_INTERVAL", "120"))
+RETRY_WINDOW = int(os.environ.get("BENCH_RETRY_WINDOW", "900"))
+MEASURE_TIMEOUT = int(os.environ.get("BENCH_MEASURE_TIMEOUT", "1500"))
 
 
 def measure_tpu_throughput():
@@ -96,8 +112,7 @@ def get_cpu_baseline() -> float:
             cached = json.load(f)
         if cached.get("size") == SIZE:
             return cached["cpu_images_per_sec"]
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                    "tools"))
+    sys.path.insert(0, os.path.join(_HERE, "tools"))
     from torch_baseline import measure_cpu_throughput
     val = measure_cpu_throughput(size=SIZE, batch=1, warmup=1, iters=2)
     with open(BASELINE_CACHE, "w") as f:
@@ -107,30 +122,86 @@ def get_cpu_baseline() -> float:
     return val
 
 
-def main():
-    # Watchdog on the FIRST device op only: a dead TPU relay makes every
-    # device_get hang forever (observed: multi-hour tunnel outage). Probe
-    # liveness with a bounded trivial op so the driver records a
-    # diagnosable error instead of an output-less timeout; the real
-    # measurement below runs unbounded (legitimately slow on cold caches).
-    # A SIGALRM handler would NOT fire here — the main thread blocks
-    # inside one C++ device_get call and never returns to the bytecode
-    # loop — so the kill comes from a daemon timer thread.
+def _probe_child() -> None:
+    """Run in a subprocess: one bounded end-to-end relay round trip.
+
+    A hung ``device_get`` cannot be interrupted in-process (the main
+    thread blocks inside one C++ call, so SIGALRM never fires); the
+    parent retries by launching fresh probe processes instead.
+    """
     import threading
-
-    def _dead():
-        print("bench.py: TPU/relay unresponsive for 600s — aborting "
-              "(tunnel down?)", file=sys.stderr)
-        sys.stderr.flush()
-        os._exit(3)
-
-    watchdog = threading.Timer(600, _dead)
-    watchdog.daemon = True
-    watchdog.start()
+    t = threading.Timer(PROBE_TIMEOUT, lambda: os._exit(3))
+    t.daemon = True
+    t.start()
     import jax
     import jax.numpy as jnp
-    jax.device_get(jnp.zeros(()) + 1.0)  # end-to-end relay round trip
-    watchdog.cancel()
+    jax.device_get(jnp.zeros(()) + 1.0)
+    os._exit(0)
+
+
+def wait_for_relay() -> bool:
+    """Probe the relay in bounded subprocesses until it answers or the
+    retry window closes. Returns True when a probe succeeded."""
+    deadline = time.monotonic() + RETRY_WINDOW
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, "BENCH_PROBE_CHILD": "1"},
+                timeout=PROBE_TIMEOUT + 60,
+                stdout=subprocess.DEVNULL).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            if attempt > 1:
+                print(f"bench.py: relay back after {attempt} probes",
+                      file=sys.stderr)
+            return True
+        if time.monotonic() >= deadline:
+            return False
+        print(f"bench.py: relay probe {attempt} failed (rc={rc}); "
+              f"retrying in {RETRY_INTERVAL}s", file=sys.stderr)
+        time.sleep(min(RETRY_INTERVAL, max(0.0, deadline - time.monotonic())))
+
+
+def _emit_last_good_or_die(reason: str) -> None:
+    """Final fallback: print the cached last-good measurement marked
+    stale (exit 0) so the round still records a number with provenance,
+    or exit 3 if no measurement has ever succeeded."""
+    print(f"bench.py: {reason}", file=sys.stderr)
+    if os.path.exists(LAST_GOOD):
+        with open(LAST_GOOD) as f:
+            cached = json.load(f)
+        cached["stale"] = True
+        cached["stale_reason"] = reason
+        print(json.dumps(cached))
+        sys.stdout.flush()
+        os._exit(0)
+    sys.stderr.flush()
+    os._exit(3)
+
+
+def main():
+    if os.environ.get("BENCH_PROBE_CHILD"):
+        _probe_child()
+        return
+
+    if not wait_for_relay():
+        _emit_last_good_or_die(
+            f"TPU/relay unresponsive for {RETRY_WINDOW}s of retries "
+            "(tunnel down?)")
+
+    # The relay can die again mid-measurement, hanging a device_get no
+    # signal can interrupt — a daemon timer is the only escape hatch.
+    import threading
+    watchdog = threading.Timer(
+        MEASURE_TIMEOUT,
+        lambda: _emit_last_good_or_die(
+            f"relay died mid-measurement (>{MEASURE_TIMEOUT}s)"))
+    watchdog.daemon = True
+    watchdog.start()
 
     value, mfu = measure_tpu_throughput()
     try:
@@ -148,6 +219,12 @@ def main():
     }
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
+    watchdog.cancel()
+    import jax
+    if jax.default_backend() == "tpu":  # only cache real-chip numbers
+        with open(LAST_GOOD, "w") as f:
+            json.dump({**out, "measured_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%S%z")}, f, indent=2)
     print(json.dumps(out))
 
 

@@ -47,7 +47,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from segtpu.train.engine import METRIC_KEYS, TrainEngine, TrainState, get_engine
+from segtpu.train.engine import (METRIC_KEYS, TrainEngine, TrainState,
+                                 auto_pipeline_window, get_engine,
+                                 tree_bytes)
 from segtpu.train.optim import EarlyStopping, ReduceLROnPlateau
 
 
@@ -144,11 +146,22 @@ def train_folds_parallel(
                  and getattr(engine.model, "n_classes", 1) == 1
                  and config.get("loss_fn", "combo") in BCE_FAMILY_LOSSES)
     per_fold = []
+    ckpt = config.get("encoder_checkpoint")
     for k in range(K):
-        st = engine.init_state(jax.random.key(seeds[k]), (1, *img_size, 1),
-                               lr0, wd)
-        if auto_bias:
-            st = _fold_bias_prior(st, fold_arrays[k][1])
+        if ckpt:
+            # pretrained encoder overlay per fold (decoder stays each
+            # fold's own seed-derived init) — same semantics as
+            # train_model's encoder_checkpoint path (segtpu/train/loop.py)
+            from segtpu.models.torch_convert import load_pretrained
+            p, bs = load_pretrained(
+                engine.model, jax.random.key(seeds[k]), (1, *img_size, 1),
+                ckpt, kind=config.get("checkpoint_kind", "torchvision"))
+            st = engine.state_from(p, bs, lr0, wd)
+        else:
+            st = engine.init_state(jax.random.key(seeds[k]),
+                                   (1, *img_size, 1), lr0, wd)
+            if auto_bias:
+                st = _fold_bias_prior(st, fold_arrays[k][1])
         per_fold.append(st)
 
     if strategy == "vmap":
@@ -249,7 +262,15 @@ def train_folds_parallel(
         # active fold back-to-back and fetching all K×h metric totals in
         # ONE device_get divides the relay-RTT fetch bill by another h×,
         # with zero mis-speculation and bit-identical numerics.
-        pipeline = max(1, int(config.get("pipeline_epochs", 4)))
+        # Window sized to an HBM budget unless pipeline_epochs is set:
+        # each in-flight step pins EVERY live fold's params/batch_stats
+        # snapshot plus its queued shuffled dataset view (see
+        # engine.auto_pipeline_window). Sum over folds, not per fold.
+        per_step_bytes = sum(
+            tree_bytes(states_l[k].params, states_l[k].batch_stats,
+                       arrays[k][0], arrays[k][1])
+            for k in range(K))
+        pipeline = auto_pipeline_window(config, per_step_bytes)
         epoch = 0
         while epoch < num_epochs and active.any():
             live = np.nonzero(active)[0]

@@ -26,12 +26,45 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from segtpu.core.caching import LRUCache
 from segtpu.losses import get_loss_function
 from segtpu.metrics import calculate_metrics
 from segtpu.models.unet import UNetWithBackbone, create_model_state
 from segtpu.train.optim import torch_adam, set_learning_rate
 
 METRIC_KEYS = ("precision", "recall", "f1", "iou", "accuracy", "loss")
+
+
+def tree_bytes(*trees) -> int:
+    """Total byte size of the arrays in the given pytrees. Works on real
+    arrays and on shape-only stand-ins (``jax.ShapeDtypeStruct``) — only
+    ``.shape``/``.dtype`` are touched, so no device is needed."""
+    import numpy as np
+    total = 0
+    for t in trees:
+        for leaf in jax.tree_util.tree_leaves(t):
+            total += int(np.prod(leaf.shape)) * jnp.dtype(leaf.dtype).itemsize
+    return total
+
+
+def auto_pipeline_window(config: Dict, per_epoch_bytes: int,
+                         cap: int = 4) -> int:
+    """HBM-aware epoch-pipelining window (ADVICE r3, medium).
+
+    Each in-flight pipelined epoch pins ``per_epoch_bytes`` of HBM until
+    its program runs: a params+batch_stats snapshot plus the queued
+    program's shuffled dataset view. A fixed window of 4 silently OOMs at
+    HBM-tight scales (512² flagship training sits at the batch ceiling
+    already), so unless the caller sets ``pipeline_epochs`` explicitly the
+    window is sized to a budget (``pipeline_hbm_budget`` config key,
+    default 4 GB — a quarter of a v5e's 16 GB, leaving the live training
+    footprint untouched) and capped at ``cap``. Always >= 1 (pipelining
+    off is just window 1 — the plain per-epoch loop)."""
+    explicit = config.get("pipeline_epochs")
+    if explicit is not None:
+        return max(1, int(explicit))
+    budget = float(config.get("pipeline_hbm_budget", 4e9))
+    return max(1, min(cap, int(budget // max(per_epoch_bytes, 1))))
 
 
 class TrainState(struct.PyTreeNode):
@@ -88,7 +121,7 @@ class TrainEngine:
         pure overhead per 5-fold CV before the first epoch ran."""
         cache = getattr(self, "_init_state_cache", None)
         if cache is None:
-            cache = self._init_state_cache = {}
+            cache = self._init_state_cache = LRUCache(8)
         key = tuple(input_shape)
         fn = cache.get(key)
         if fn is None:
@@ -107,6 +140,20 @@ class TrainEngine:
             fn = cache[key] = jax.jit(_init)
         return fn(rng, jnp.asarray(learning_rate, jnp.float32),
                   jnp.asarray(weight_decay, jnp.float32))
+
+    def state_from(self, params, batch_stats, learning_rate: float,
+                   weight_decay: float) -> TrainState:
+        """TrainState around EXISTING params/batch_stats (converted or
+        pretrained weights) with a fresh optimizer at the requested
+        hyperparams — the reference's train-whatever-the-model-carries
+        behavior (train.py:301-364)."""
+        opt_state = self.tx.init(params)
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            learning_rate, jnp.float32)
+        opt_state.hyperparams["weight_decay"] = jnp.asarray(
+            weight_decay, jnp.float32)
+        return TrainState(params=params, batch_stats=batch_stats,
+                          opt_state=opt_state)
 
     # ------------------------------------------------------------ steps
 
@@ -318,7 +365,7 @@ class TrainEngine:
         branch under vmap instead of select-both-sides."""
         cache = getattr(self, "_fold_epoch_cache", None)
         if cache is None:
-            cache = self._fold_epoch_cache = {}
+            cache = self._fold_epoch_cache = LRUCache(8)
         key = (n, nv, b, vmapped)
         if key in cache:
             return cache[key]
@@ -435,7 +482,11 @@ class TrainEngine:
         return state, train_metrics, val_metrics
 
 
-_ENGINE_CACHE: Dict[Tuple, TrainEngine] = {}
+# Bounded: a 50-config grid sweep must not pin 50 engines' compiled
+# programs for the process lifetime (VERDICT r3 #8). 16 covers every
+# in-repo sweep's concurrent working set (folds of one config share one
+# entry; the experiment drivers iterate configs sequentially).
+_ENGINE_CACHE: LRUCache = LRUCache(16)
 
 
 def _loss_cache_key(config: Dict) -> Tuple:

@@ -27,7 +27,8 @@ from segtpu.data.augment import CellAugmenter
 from segtpu.data.loader import DeviceDataLoader
 from segtpu.data.preprocess import load_canonical, normalize_canonical
 from segtpu.train.engine import (METRIC_KEYS, TrainEngine, TrainState,
-                                 get_engine)
+                                 auto_pipeline_window, get_engine,
+                                 tree_bytes)
 from segtpu.train.optim import EarlyStopping, ReduceLROnPlateau
 
 ArraysOrPaths = Union[Sequence[str], Tuple[np.ndarray, np.ndarray]]
@@ -188,6 +189,18 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
         opt_state.hyperparams["weight_decay"] = jnp.asarray(
             wd, jnp.float32)
         state = initial_state.replace(opt_state=opt_state)
+    elif config.get("encoder_checkpoint"):
+        # pretrained=True with a user-supplied local torchvision
+        # checkpoint (advanced_models.py:72-78 behavior): seed-derived
+        # fresh init, then the converted encoder overlaid. Flows through
+        # CrossValidator/ModelComparator/experiments as a plain config
+        # key — see tools/validate_reference_parity.py.
+        from segtpu.models.torch_convert import load_pretrained
+        params, stats = load_pretrained(
+            engine.model, jax.random.key(seed), (1, *img_size, 1),
+            config["encoder_checkpoint"],
+            kind=config.get("checkpoint_kind", "torchvision"))
+        state = engine.state_from(params, stats, lr, wd)
     else:
         state = engine.init_state(jax.random.key(seed), (1, *img_size, 1),
                                   lr, wd)
@@ -238,9 +251,13 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
     # `pipeline_epochs` caps the window; 1 disables pipelining. Memory:
     # each in-flight epoch pins its params/batch_stats snapshot plus its
     # queued program's inputs (a shuffled dataset view) until it runs —
-    # at HBM-tight scales (512² flagship training) set pipeline_epochs
-    # to 1-2.
-    pipeline = max(1, int(config.get("pipeline_epochs", 4)))
+    # so unless pipeline_epochs is set explicitly, the window is sized
+    # from those bytes against an HBM budget (auto_pipeline_window): at
+    # HBM-tight scales (512² flagship training) this auto-reduces to 1-2
+    # instead of silently OOMing at the old fixed default of 4.
+    per_epoch_bytes = tree_bytes(state.params, state.batch_stats,
+                                 tr_imgs, tr_masks)
+    pipeline = auto_pipeline_window(config, per_epoch_bytes)
 
     shuffle_key = jax.random.key(seed + 1)
     train_metrics: Dict = {}
