@@ -56,6 +56,17 @@ def _enable_compile_cache():
         # segtpu, so the init lands on the platform they chose. The
         # persistent cache stays ON only for TPU executables (which ARE
         # stable); the in-process jit cache still amortizes CPU runs.
+        #
+        # Fast path FIRST (backend-free): callers that forced CPU via
+        # jax.config.update("jax_platforms", "cpu") must not trigger a
+        # backend probe at import time — on this rig a TPU-targeted
+        # default_backend() can hang for hours when the relay is down
+        # (CLAUDE.md), and a forced-CPU import should never touch the
+        # relay at all.
+        platforms = getattr(jax.config, "jax_platforms", None) or \
+            os.environ.get("JAX_PLATFORMS", "")
+        if platforms and "tpu" not in str(platforms).split(","):
+            return
         if jax.default_backend() != "tpu":
             return
         cache_dir = os.environ.get("SEGTPU_COMPILE_CACHE",

@@ -165,10 +165,21 @@ class Segmenter:
             json.dump(cfg, f, indent=2)
         return out
 
+    # Sidecar keys load() may restore: everything that determines the
+    # built architecture (get_engine's model_key) plus img_size. Training
+    # hyperparameters (num_epochs, batch_size, lr, fold_parallel, ...)
+    # stay the CALLER's — load() restores weights, not their training
+    # plan; full-config restore lives in from_checkpoint only.
+    _ARCH_KEYS = ("backbone", "use_attention", "n_classes", "img_size",
+                  "dtype", "final_bias_prior", "fuse", "remat",
+                  "reparam_in_train", "fuse_gate")
+
     def load(self, path: str, name: str = "segmenter") -> "Segmenter":
         """Restore weights saved by :meth:`save`. If the sidecar config is
         present and names a different architecture, the engine is rebuilt
-        to match (older checkpoints without a sidecar load as before)."""
+        to match (older checkpoints without a sidecar load as before).
+        Only architecture-determining keys are taken from the sidecar —
+        the caller's training settings are left untouched."""
         import json
         import os
         from segtpu.train.checkpoint import load_checkpoint
@@ -178,7 +189,8 @@ class Segmenter:
                 cfg = json.load(f)
             if "img_size" in cfg:
                 cfg["img_size"] = tuple(cfg["img_size"])
-            self.config.update(cfg)
+            self.config.update({k: cfg[k] for k in self._ARCH_KEYS
+                                if k in cfg})
             self.engine = get_engine(self.config)
         restored = load_checkpoint(path, name=name)
         params = jax.tree.map(jnp.asarray, restored["params"])
@@ -199,6 +211,8 @@ class Segmenter:
         if os.path.exists(cfg_path):
             with open(cfg_path) as f:
                 cfg = json.load(f)
+            if "img_size" in cfg:   # JSON turned the tuple into a list
+                cfg["img_size"] = tuple(cfg["img_size"])
             kw = {k: cfg[k] for k in
                   ("backbone", "use_attention", "n_classes") if k in cfg}
             kw["config"] = cfg

@@ -87,6 +87,24 @@ def _axis_weights(coords: jnp.ndarray, n: int, border: str, nearest: bool
     return w, jnp.ones(coords.shape, jnp.float32)
 
 
+def _sample_block(img: jnp.ndarray, ysf: jnp.ndarray, xsf: jnp.ndarray,
+                  border: str, nearest: bool) -> jnp.ndarray:
+    """One flat block of coords → samples (the two-matmul core)."""
+    h, w = img.shape
+    wy, vy = _axis_weights(ysf, h, border, nearest)   # (P, H)
+    wx, vx = _axis_weights(xsf, w, border, nearest)   # (P, W)
+    t = wx @ img.T                                    # (P, H): Σ_x img[y,x]·wx
+    return jnp.sum(t * wy, axis=1) * vy * vx          # (P,)
+
+
+# Above this many output pixels the weight matrices are built per block
+# instead of whole-frame: whole-frame is (P, H)+(P, W)+(P, H) f32 — ~1.5 GB
+# at 512² per image BEFORE the batch vmap (ADVICE r3). 64²·64 keeps the
+# benchmarked 128²/256² single-shot paths unchanged.
+_MATMUL_PIX_LIMIT = 256 * 256
+_MATMUL_BLOCK = 16 * 1024
+
+
 def _sample_matmul(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
                    border: str, nearest: bool) -> jnp.ndarray:
     """Resample ``img`` (H, W) at float coords via two MXU contractions.
@@ -97,15 +115,25 @@ def _sample_matmul(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
     weights separate as hat(y)·hat(x) (and nearest as onehot·onehot),
     sampling is  out = (Wx · imgᵀ) ⊙-reduce Wy  — two dense matmuls the
     MXU eats. Exact same taps/weights as the gather form.
+
+    Beyond ``_MATMUL_PIX_LIMIT`` output pixels the contraction is tiled
+    over ``_MATMUL_BLOCK``-pixel chunks (lax.map — sequential, weights
+    live only for one chunk), bounding HBM at flagship canonical sizes
+    where the dense (H·W, H) matrices would not fit under the batch vmap.
+    Matmul shapes stay MXU-sized (16k × H).
     """
-    h, w = img.shape
     shape = ys.shape
     ysf, xsf = ys.reshape(-1), xs.reshape(-1)
-    wy, vy = _axis_weights(ysf, h, border, nearest)   # (P, H)
-    wx, vx = _axis_weights(xsf, w, border, nearest)   # (P, W)
-    t = wx @ img.T                                    # (P, H): Σ_x img[y,x]·wx
-    out = jnp.sum(t * wy, axis=1) * vy * vx           # (P,)
-    return out.reshape(shape)
+    p = ysf.shape[0]
+    if p <= _MATMUL_PIX_LIMIT:
+        return _sample_block(img, ysf, xsf, border, nearest).reshape(shape)
+    pad = (-p) % _MATMUL_BLOCK
+    ysp = jnp.pad(ysf, (0, pad)).reshape(-1, _MATMUL_BLOCK)
+    xsp = jnp.pad(xsf, (0, pad)).reshape(-1, _MATMUL_BLOCK)
+    out = jax.lax.map(
+        lambda yx: _sample_block(img, yx[0], yx[1], border, nearest),
+        (ysp, xsp))
+    return out.reshape(-1)[:p].reshape(shape)
 
 
 def sample_bilinear(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,

@@ -114,37 +114,49 @@ def _decode_resize_pipelined(image_paths: Sequence[str],
     th.start()
 
     pending = []  # (np index array, device imgs, device masks | None)
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        idx, decoded = item
-        m = len(idx)
-        groups: dict = {}
-        for j, i in enumerate(idx):
-            img = decoded[j]
-            msk = decoded[m + j] if pairs else None
-            if pairs and msk.shape != img.shape:
-                # defensive: masks should match raw images
-                msk = np.array(jax.device_get(
-                    resize_nearest(jnp.asarray(msk), img.shape)))
-            raw_shapes[i] = img.shape
-            groups.setdefault(img.shape, []).append((i, img, msk))
-        for shape, items in groups.items():
-            gi = np.array([i for i, _, _ in items])
-            raw_i = np.stack([im for _, im, _ in items])
-            if pairs:
-                raw_m = np.stack([mk for _, _, mk in items])
-                ci, cm = _resize_pair_fn(shape, tuple(img_size))(
-                    jnp.asarray(raw_i), jnp.asarray(raw_m))
-            else:
-                ci = _resize_img_fn(shape, tuple(img_size))(
-                    jnp.asarray(raw_i))
-                cm = None
-            pending.append((gi, ci, cm))
-    th.join()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            idx, decoded = item
+            m = len(idx)
+            groups: dict = {}
+            for j, i in enumerate(idx):
+                img = decoded[j]
+                msk = decoded[m + j] if pairs else None
+                if pairs and msk.shape != img.shape:
+                    # defensive: masks should match raw images
+                    msk = np.array(jax.device_get(
+                        resize_nearest(jnp.asarray(msk), img.shape)))
+                raw_shapes[i] = img.shape
+                groups.setdefault(img.shape, []).append((i, img, msk))
+            for shape, items in groups.items():
+                gi = np.array([i for i, _, _ in items])
+                raw_i = np.stack([im for _, im, _ in items])
+                if pairs:
+                    raw_m = np.stack([mk for _, _, mk in items])
+                    ci, cm = _resize_pair_fn(shape, tuple(img_size))(
+                        jnp.asarray(raw_i), jnp.asarray(raw_m))
+                else:
+                    ci = _resize_img_fn(shape, tuple(img_size))(
+                        jnp.asarray(raw_i))
+                    cm = None
+                pending.append((gi, ci, cm))
+        th.join()
+    except BaseException:
+        # Consumer failed mid-stream (resize/device error): the producer
+        # may be blocked on q.put with the 2-slot queue full. Drain until
+        # it parks its sentinel/exception so the thread (and its in-flight
+        # decode buffers) can exit before we re-raise (ADVICE r3).
+        while th.is_alive():
+            try:
+                q.get(timeout=0.1)
+            except _queue.Empty:
+                pass
+        raise
 
     # one batched sync for every group
     fetched = jax.device_get([(ci, cm) for _, ci, cm in pending])

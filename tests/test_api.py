@@ -84,6 +84,25 @@ def test_from_checkpoint_is_self_describing(fitted, tmp_path):
         wrong.predict_proba(data["image_paths"][:2]), before, atol=1e-6)
 
 
+def test_load_keeps_callers_training_settings(fitted, tmp_path):
+    """load() restores ONLY architecture-determining sidecar keys: the
+    caller's training plan (num_epochs, batch_size, lr, ...) must survive
+    (ADVICE r3 — the full-config restore lives in from_checkpoint)."""
+    seg, data = fitted
+    seg.save(str(tmp_path))
+    seg2 = Segmenter(backbone="resnet34", use_attention=False,
+                     config={"img_size": (32, 32), "batch_size": 7,
+                             "num_epochs": 3, "learning_rate": 5e-4})
+    seg2.load(str(tmp_path))
+    assert seg2.config["batch_size"] == 7
+    assert seg2.config["num_epochs"] == 3
+    assert seg2.config["learning_rate"] == 5e-4
+    assert isinstance(seg2.config["img_size"], tuple)
+    # from_checkpoint DOES restore the full config, tuples intact
+    seg3 = Segmenter.from_checkpoint(str(tmp_path))
+    assert isinstance(seg3.config["img_size"], tuple)
+
+
 def test_predict_tiled(fitted):
     seg, _ = fitted
     big = np.random.default_rng(0).random((96, 96)).astype(np.float32)

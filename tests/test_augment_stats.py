@@ -100,3 +100,27 @@ def test_mask_stays_binary_through_all_geometric_candidates(rng):
         vals = np.unique(np.asarray(am))
         # nearest-sampled from {0, 255} (+ 0 border) → stays in {0, 255}
         assert set(vals.tolist()).issubset({0.0, 255.0}), (name, vals)
+
+
+def test_tiled_sample_matmul_matches_single_shot(rng, monkeypatch):
+    """Above _MATMUL_PIX_LIMIT the resampler tiles the contraction over
+    pixel blocks (bounded HBM at flagship canonical sizes, ADVICE r3);
+    the tiled path must be numerically identical to the whole-frame
+    two-matmul form — same taps, same weights, just chunked."""
+    from segtpu.data import augment as A
+
+    img = jnp.asarray(rng.uniform(0, 1, (48, 40)), jnp.float32)
+    ys = jnp.asarray(rng.uniform(-5, 52, (48, 40)), jnp.float32)
+    xs = jnp.asarray(rng.uniform(-5, 44, (48, 40)), jnp.float32)
+
+    for border in ("reflect", "constant"):
+        for fn in (A.sample_bilinear, A.sample_nearest):
+            whole = fn(img, ys, xs, border)
+            # force tiling with a non-divisible block size (pad path)
+            monkeypatch.setattr(A, "_MATMUL_PIX_LIMIT", 100)
+            monkeypatch.setattr(A, "_MATMUL_BLOCK", 128)
+            tiled = fn(img, ys, xs, border)
+            monkeypatch.undo()
+            np.testing.assert_allclose(np.asarray(tiled),
+                                       np.asarray(whole), atol=1e-6)
+            assert tiled.shape == ys.shape

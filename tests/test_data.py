@@ -244,3 +244,44 @@ def test_load_canonical_chunked_matches_single_shot(tmp_path):
     np.testing.assert_array_equal(cm0, cm1)
     np.testing.assert_array_equal(rs0, rs1)
     np.testing.assert_array_equal(rs0, np.array(shapes))
+
+
+def test_pipelined_loader_consumer_failure_unblocks_producer(tmp_path,
+                                                             monkeypatch):
+    """If the consumer raises mid-stream (e.g. a resize/device error), the
+    producer thread — possibly blocked on the full 2-slot queue — must be
+    drained and joined before the exception propagates, not leaked with
+    its in-flight decode buffers (ADVICE r3)."""
+    import threading
+    import time
+
+    from PIL import Image
+
+    from segtpu.data import preprocess as P
+    from segtpu.data.io import clear_decode_cache
+
+    rng = np.random.default_rng(3)
+    imgs = []
+    for i in range(8):
+        im = rng.integers(0, 255, (40, 40), dtype=np.uint8)
+        p = str(tmp_path / f"i{i}.tif")
+        Image.fromarray(im).save(p)
+        imgs.append(p)
+
+    def boom(shape, size):
+        raise RuntimeError("injected resize failure")
+
+    monkeypatch.setattr(P, "_resize_img_fn", boom)
+    clear_decode_cache()
+    before = {t.name for t in threading.enumerate()}
+    with pytest.raises(RuntimeError, match="injected resize failure"):
+        P._decode_resize_pipelined(imgs, None, (32, 32), chunk=1)
+    # the prefetch thread must be gone (drained + exited), promptly
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        leaked = {t.name for t in threading.enumerate()} - before
+        if not any("segtpu-decode-prefetch" in n for n in leaked):
+            break
+        time.sleep(0.05)
+    leaked = {t.name for t in threading.enumerate()} - before
+    assert not any("segtpu-decode-prefetch" in n for n in leaked), leaked
