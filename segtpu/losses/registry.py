@@ -92,23 +92,95 @@ def available_losses():
     ]
 
 
+# Full selection guide (capability parity with the reference's
+# LOSS_FUNCTION_GUIDE, losses.py:407-480), extended with each loss's
+# registry key and config hyperparameter names so it doubles as API docs.
 LOSS_FUNCTION_GUIDE = """
 Loss Function Selection Guide:
 =============================
 
-1. Binary Cross-Entropy (BCE): balanced datasets, general purpose.
-2. Weighted BCE: skewed datasets; tune beta.
-3. Balanced BCE: automatic class-imbalance handling.
-4. Focal Loss: highly imbalanced datasets, hard examples.
-5. Dice Loss: directly optimizes an IoU-like metric.
-6. Tversky Loss: control the FP/FN trade-off via alpha/beta.
-7. Focal Tversky: small ROIs with high imbalance.
-8. Sensitivity-Specificity: control the TP/TN trade-off.
-9. Log-Cosh Dice: smooth Dice optimization.
-10. Combo (Dice + BCE): general-purpose default.
-11. Exponential Logarithmic: focuses on poorly predicted regions.
-12. Distance Map BCE: emphasizes boundaries.
-13. Hausdorff Distance: boundary-accuracy critical tasks.
-14. Boundary Loss: strong boundary emphasis.
-(Reference: losses.py:407-480.)
+1. Binary Cross-Entropy — key 'bce':
+   - Use for: balanced datasets; a general-purpose starting point
+   - Pros: stable training, well-understood behavior
+   - Cons: degrades when foreground/background are imbalanced
+
+2. Weighted BCE — key 'weighted_bce' (config: beta, default 2.0):
+   - Use for: skewed datasets (far more background than foreground)
+   - Pros: handles mild imbalance with one knob
+   - Cons: beta needs tuning per dataset
+
+3. Balanced BCE — key 'balanced_bce':
+   - Use for: class imbalance without manual weight tuning
+   - Pros: weights derive automatically from each batch's fg ratio
+   - Cons: can still struggle under extreme imbalance
+
+4. Focal Loss — key 'focal' (config: focal_alpha 0.25, focal_gamma 2.0):
+   - Use for: highly imbalanced data, hard-to-classify pixels
+   - Pros: down-weights easy pixels, concentrates on hard ones
+   - Cons: two extra hyperparameters to tune
+
+5. Dice Loss — key 'dice' (config: smooth, default 1.0):
+   - Use for: segmentation under class imbalance
+   - Pros: directly optimizes an IoU-like overlap metric
+   - Cons: can be unstable with very small objects
+
+6. Tversky Loss — key 'tversky' (config: tversky_alpha 0.5,
+   tversky_beta 0.5; presets 'tversky_balanced' 0.5/0.5 and
+   'tversky_recall' 0.3/0.7):
+   - Use for: explicit control of the FP/FN trade-off
+   - Pros: alpha weights false positives, beta false negatives
+   - Cons: the trade-off needs careful tuning
+
+7. Focal Tversky — key 'focal_tversky' (config: tversky_alpha,
+   tversky_beta, focal_tversky_gamma 0.75):
+   - Use for: small regions of interest with high imbalance
+   - Pros: combines focal's hard-example focus with Tversky's trade-off
+   - Cons: three hyperparameters interact
+
+8. Sensitivity-Specificity — key 'sensitivity_specificity'
+   (config: sensitivity_weight, default 0.5):
+   - Use for: medical imaging where the TP/TN balance matters
+   - Pros: direct control over sensitivity vs specificity
+   - Cons: does not directly optimize overall accuracy
+
+9. Log-Cosh Dice — key 'log_cosh_dice' (config: smooth 1.0):
+   - Use for: smoother optimization of the Dice coefficient
+   - Pros: log-cosh tames Dice's gradient spikes
+   - Cons: optimum differs slightly from pure Dice
+
+10. Combo (Dice + BCE) — key 'combo' (config: loss_alpha 0.5;
+    the registry default and the unknown-name fallback):
+    - Use for: general purpose; the balanced default
+    - Pros: region overlap (Dice) plus per-pixel calibration (BCE)
+    - Cons: one blending hyperparameter (alpha)
+
+11. Triple Combo (Dice + BCE + Focal) — key 'triple_combo'
+    (config: alpha_dice 0.33, alpha_bce 0.33, alpha_focal 0.34):
+    - Use for: imbalanced data where combo alone plateaus
+    - Pros: adds focal's hard-pixel emphasis to the combo blend
+    - Cons: most hyperparameters of any registry entry
+
+12. Exponential Logarithmic — key 'exponential_logarithmic'
+    (config: w_dice 0.5, w_cross 0.5, gamma_dice 0.3, gamma_cross 0.3):
+    - Use for: focusing training on poorly predicted regions
+    - Pros: gamma exponents adapt emphasis to prediction quality
+    - Cons: complex; four hyperparameters
+
+13. Distance Map BCE — key 'distance_map_bce'
+    (config: distance_alpha, default 1.0):
+    - Use for: emphasizing object boundaries
+    - Pros: per-pixel weights grow near mask edges (EDT-based)
+    - Cons: pays for a distance transform per batch (on-device here,
+      segtpu/ops/edt.py)
+
+14. Hausdorff Distance — key 'hausdorff' (config: hausdorff_alpha 2.0):
+    - Use for: boundary-accuracy-critical tasks
+    - Pros: approximates the boundary metric itself
+    - Cons: the most expensive loss in the registry
+
+15. Boundary Loss — key 'boundary' (config: boundary_theta0 3,
+    boundary_theta 5):
+    - Use for: precise boundary segmentation
+    - Pros: strongest boundary emphasis
+    - Cons: can neglect region interiors; pair with a region loss
 """
