@@ -41,7 +41,24 @@ def pytest_addoption(parser):
                      help="run slow full-compile tests")
 
 
+# `-m fast` regression subset (VERDICT r3 #5): modules whose tests avoid
+# big-model compiles — together they run in well under 10 minutes on this
+# 1-core host and cover the registry/loss/metric/op/data/controller logic
+# where regressions actually land. Heavier end-to-end/GSPMD/experiment
+# modules stay full-suite-only.
+FAST_MODULES = {
+    "test_losses", "test_metrics", "test_ops", "test_models",
+    "test_data", "test_misc", "test_engine_cache", "test_augment_stats",
+    "test_convert", "test_checkpoint", "test_viz",
+}
+
+
 def pytest_collection_modifyitems(config, items):
+    fast_marker = pytest.mark.fast
+    for item in items:
+        mod = os.path.splitext(os.path.basename(str(item.fspath)))[0]
+        if mod in FAST_MODULES and "slow" not in item.keywords:
+            item.add_marker(fast_marker)
     if config.getoption("--run-slow"):
         return
     skip_slow = pytest.mark.skip(reason="slow: pass --run-slow to enable")
