@@ -106,7 +106,9 @@ def classify(name: str, opcode: str, body: str) -> str:
     return "other"
 
 
-_COMP_RE = re.compile(r"^(ENTRY\s+)?%?([\w.\-]+)\s*(?:\([^)]*\))?\s*->.*{")
+# Computation headers may have nested parens in the param list
+# (tuple-typed args, e.g. scan carries) — match greedily to '->'.
+_COMP_RE = re.compile(r"^(ENTRY\s+)?%?([\w.\-]+)\s*(?:\(.*\))?\s*->.*{")
 
 
 def _split_computations(hlo_text: str):
