@@ -30,6 +30,18 @@ grayscale cell-microscopy images) designed TPU-first:
 __version__ = "0.1.0"
 
 
+def _cpu_only_platforms(platforms) -> bool:
+    """True iff the jax_platforms value forces CPU and nothing else.
+
+    Only then may the import-time cache setup skip the backend probe:
+    on the axon relay jax_platforms is "axon,cpu" while the backend is
+    tpu, so any broader test (e.g. ``"tpu" not in list``) wrongly
+    disables the persistent compile cache exactly where it matters."""
+    plat_list = [p.strip() for p in str(platforms or "").split(",")
+                 if p.strip()]
+    return bool(plat_list) and all(p == "cpu" for p in plat_list)
+
+
 def _enable_compile_cache():
     """Persistent XLA compilation cache (opt out: SEGTPU_NO_COMPILE_CACHE=1).
 
@@ -65,7 +77,7 @@ def _enable_compile_cache():
         # relay at all.
         platforms = getattr(jax.config, "jax_platforms", None) or \
             os.environ.get("JAX_PLATFORMS", "")
-        if platforms and "tpu" not in str(platforms).split(","):
+        if _cpu_only_platforms(platforms):
             return
         if jax.default_backend() != "tpu":
             return

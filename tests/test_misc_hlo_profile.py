@@ -64,8 +64,8 @@ def test_profile_entry_and_while_body_only():
     assert cls["conv_fwd"]["count"] == 1
     # the fusion inside the while body is charged (in+out), ONCE —
     # its internal broadcast/max never appear
-    assert cls["fusion_elementwise"]["bytes"] == 2 * ACT4
-    assert cls["fusion_elementwise"]["count"] == 1
+    assert cls["fusion_elem_fwd"]["bytes"] == 2 * ACT4
+    assert cls["fusion_elem_fwd"]["count"] == 1
     # scan_cond's constant and fusion internals contribute nothing else
     assert "other" not in cls or cls["other"]["bytes"] == 0
     # top buffer is the conv output
@@ -73,3 +73,79 @@ def test_profile_entry_and_while_body_only():
     assert rep["top_buffers"][0]["bytes"] == ACT8
     # dtype write accounting sees f32 only (pred/s32 scalars negligible)
     assert rep["per_dtype_written"]["f32"] >= ACT8 + ACT4
+
+
+# --- TPU-style lines: tuple types with parens in layouts, kOutput conv
+# fusions classified through the body, dim_labels fwd/dgrad/wgrad ---
+
+TPU_HLO = """\
+HloModule jit_train
+
+%fused_computation.c (p0: bf16[8,16,16,4], p1: bf16[3,3,4,8]) -> bf16[8,16,16,8] {
+  %p0 = bf16[8,16,16,4]{0,3,2,1:T(8,128)(2,1)} parameter(0)
+  %p1 = bf16[3,3,4,8]{3,2,1,0:T(8,128)(2,1)} parameter(1)
+  ROOT %cv = bf16[8,16,16,8]{0,3,2,1:T(8,128)(2,1)} convolution(%p0, %p1), window={size=3x3 pad=1_1x1_1}, dim_labels=b01f_01io->b01f
+}
+
+%fused_computation.w (p0: bf16[8,16,16,4], p1: bf16[8,16,16,8]) -> bf16[3,3,4,8] {
+  %p0 = bf16[8,16,16,4]{0,3,2,1:T(8,128)(2,1)} parameter(0)
+  %p1 = bf16[8,16,16,8]{0,3,2,1:T(8,128)(2,1)} parameter(1)
+  ROOT %cv = bf16[3,3,4,8]{3,2,1,0:T(8,128)(2,1)} convolution(%p0, %p1), window={size=16x16 pad=1_1x1_1}, dim_labels=f01b_i01o->01bf
+}
+
+ENTRY %main (x: bf16[8,16,16,4], w: bf16[3,3,4,8], g: bf16[8,16,16,8]) -> (bf16[8,16,16,8], bf16[3,3,4,8]) {
+  %x = bf16[8,16,16,4]{0,3,2,1:T(8,128)(2,1)} parameter(0)
+  %w = bf16[3,3,4,8]{3,2,1,0:T(8,128)(2,1)} parameter(1)
+  %g = bf16[8,16,16,8]{0,3,2,1:T(8,128)(2,1)} parameter(2)
+  %f = bf16[8,16,16,8]{0,3,2,1:T(8,128)(2,1)} fusion(%x, %w), kind=kOutput, calls=%fused_computation.c, metadata={op_name="jit(step)/jvp(Model)/conv_general_dilated" source_file="/m/unet.py" source_line=10}
+  %wg = bf16[3,3,4,8]{3,2,1,0:T(8,128)(2,1)} fusion(%x, %g), kind=kOutput, calls=%fused_computation.w, metadata={op_name="jit(step)/transpose(jvp(Model))/conv_general_dilated" source_file="/m/unet.py" source_line=10}
+  ROOT %out = (bf16[8,16,16,8]{0,3,2,1:T(8,128)(2,1)}, bf16[3,3,4,8]{3,2,1,0:T(8,128)(2,1)}) tuple(%f, %wg)
+}
+"""
+
+BACT4 = 8 * 16 * 16 * 4 * 2
+BACT8 = 8 * 16 * 16 * 8 * 2
+BW = 3 * 3 * 4 * 8 * 2
+
+
+def test_tpu_style_conv_fusions():
+    rep = profile_hlo(TPU_HLO)
+    cls = rep["per_class"]
+    # forward conv fusion: output + x + w
+    assert cls["conv_fwd"]["bytes"] == BACT8 + BACT4 + BW
+    assert cls["conv_fwd"]["count"] == 1
+    # wgrad fusion (dim_labels out doesn't start with 'b'): out + x + g
+    assert cls["conv_wgrad"]["bytes"] == BW + BACT4 + BACT8
+    assert cls["conv_wgrad"]["count"] == 1
+    # tuple-typed ROOT with layout parens parsed, not misread as opcode
+    assert "other" not in cls or cls["other"]["bytes"] == 0
+    # source attribution separates fwd and bwd at the same line
+    assert rep["per_source"]["unet.py:10"]["bytes"] == BACT8 + BACT4 + BW
+    assert rep["per_source"]["unet.py:10 bwd"]["bytes"] == \
+        BW + BACT4 + BACT8
+
+
+def test_parse_instruction_tuple_layout_parens():
+    from train_bytes_profile import parse_instruction
+    line = ("  %cd = (bf16[128,64,64,64]{0,3,2,1:T(8,128)(2,1)S(1)}, "
+            "u32[]{:T(128)}) copy-start(%a), metadata={}")
+    name, type_str, opcode, operands, attrs = parse_instruction(line)
+    assert name == "cd"
+    assert opcode == "copy-start"
+    assert operands == "%a"
+    assert type_str.startswith("(bf16[128,64,64,64]")
+    assert type_str.endswith(")")
+
+
+def test_cpu_only_platforms_gate():
+    # Import-time cache fast path: only a cpu-only platform list skips
+    # the backend probe. The axon relay reports "axon,cpu" with a tpu
+    # backend — it must NOT be treated as forced-CPU (regression: the
+    # persistent compile cache was silently disabled on the rig).
+    from segtpu import _cpu_only_platforms
+    assert _cpu_only_platforms("cpu")
+    assert _cpu_only_platforms("cpu, cpu")
+    assert not _cpu_only_platforms("axon,cpu")
+    assert not _cpu_only_platforms("tpu")
+    assert not _cpu_only_platforms("")
+    assert not _cpu_only_platforms(None)
