@@ -4,6 +4,7 @@ from segtpu.infer.tiled import (
     make_tiled_predictor_many,
 )
 from segtpu.infer.predict import predict, predict_proba
+from segtpu.infer.tta import tta_predict, tta_predict_proba
 from segtpu.infer.export import (
     ServingModel,
     export_serving,

@@ -73,52 +73,68 @@ def post_process(prediction: np.ndarray, min_size: int = 15) -> np.ndarray:
 
 
 def _label_fallback(binary: np.ndarray):
-    """4-connectivity two-pass union-find labeling (scipy-free fallback)."""
-    flat = binary.reshape(-1)
-    h_w = binary.shape
-    parent = {}
+    """4-connectivity connected-component labeling (scipy-free fallback).
+
+    Run-length formulation: each row's foreground runs are extracted with
+    one vectorized diff over the whole image, and union-find operates on
+    runs (for typical masks orders of magnitude fewer than pixels), with
+    a two-pointer overlap sweep between consecutive rows. Labels follow
+    raster order of each component's first pixel — the same convention as
+    ``scipy.ndimage.label`` with the default cross structure, so the two
+    paths are drop-in interchangeable (pinned by tests/test_metrics.py).
+    """
+    H, W = binary.shape
+    edges = np.zeros((H, W + 2), dtype=np.int8)
+    edges[:, 1:-1] = binary != 0
+    d = np.diff(edges, axis=1)
+    start_rows, start_cols = np.nonzero(d == 1)   # inclusive start col
+    _, end_cols = np.nonzero(d == -1)             # exclusive end col
+    n_runs = start_rows.size
+    out = np.zeros((H, W), dtype=np.int32)
+    if n_runs == 0:
+        return out, 0, np.array([])
+
+    parent = np.arange(n_runs)
 
     def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
 
-    labels = np.zeros(binary.shape, dtype=np.int32)
-    nxt = 1
-    it = np.nditer(binary, flags=["multi_index"])
-    for v in it:
-        if not v:
-            continue
-        i, j = it.multi_index
-        up = labels[i - 1, j] if i > 0 else 0
-        left = labels[i, j - 1] if j > 0 else 0
-        if up and left:
-            ru, rl = find(up), find(left)
-            labels[i, j] = ru
-            if ru != rl:
-                parent[rl] = ru
-        elif up or left:
-            labels[i, j] = find(up or left)
-        else:
-            parent[nxt] = nxt
-            labels[i, j] = nxt
-            nxt += 1
-    # Flatten unions & relabel densely
-    remap = {}
-    out = np.zeros_like(labels)
-    for i in range(h_w[0]):
-        for j in range(h_w[1]):
-            l = labels[i, j]
-            if l:
-                r = find(l)
-                if r not in remap:
-                    remap[r] = len(remap) + 1
-                out[i, j] = remap[r]
-    num = len(remap)
-    sizes = np.bincount(out.reshape(-1))[1:] if num else np.array([])
+    # np.nonzero is row-major, so each row's runs are a contiguous,
+    # column-sorted slice [row_first[r], row_last[r]).
+    row_first = np.searchsorted(start_rows, np.arange(H))
+    row_last = np.searchsorted(start_rows, np.arange(H), side="right")
+    for r in range(1, H):
+        i, i_end = row_first[r - 1], row_last[r - 1]
+        j, j_end = row_first[r], row_last[r]
+        while i < i_end and j < j_end:
+            if start_cols[i] < end_cols[j] and start_cols[j] < end_cols[i]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    # keep the smaller run index as root: the component's
+                    # root is then its first run in raster order
+                    if ri < rj:
+                        parent[rj] = ri
+                    else:
+                        parent[ri] = rj
+            if end_cols[i] < end_cols[j]:
+                i += 1
+            else:
+                j += 1
+
+    roots = np.fromiter((find(i) for i in range(n_runs)), np.int64, n_runs)
+    uniq_roots, run_label0 = np.unique(roots, return_inverse=True)
+    num = uniq_roots.size
+    lengths = end_cols - start_cols
+    # scatter each run's label into the flat output in one vectorized pass
+    flat_starts = start_rows.astype(np.int64) * W + start_cols
+    csum = np.cumsum(lengths)
+    offsets = np.arange(csum[-1]) - np.repeat(csum - lengths, lengths)
+    out.reshape(-1)[np.repeat(flat_starts, lengths) + offsets] = np.repeat(
+        run_label0 + 1, lengths)
+    sizes = np.bincount(run_label0, weights=lengths).astype(np.int64)
     return out, num, sizes
 
 

@@ -43,6 +43,15 @@ def test_predict_with_post_processing(fitted):
     assert masks.shape == (2, 32, 32, 1)
 
 
+def test_predict_tta(fitted):
+    seg, data = fitted
+    probs = seg.predict_proba(data["image_paths"][:2], tta=True)
+    assert probs.shape == (2, 32, 32, 1)
+    assert probs.min() >= 0 and probs.max() <= 1
+    masks = seg.predict(data["image_paths"][:2], tta=True)
+    assert set(np.unique(masks)).issubset({0, 1})
+
+
 def test_evaluate_metrics(fitted):
     seg, data = fitted
     m = seg.evaluate(data["image_paths"][:4], data["mask_paths"][:4])

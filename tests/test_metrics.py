@@ -56,3 +56,35 @@ def test_iou_score_post_processing(rng):
     plain = iou_score(logits, target)
     pp = iou_score(logits, target, apply_post_processing=True, min_size=25)
     assert 0.0 <= plain <= 1.0 and 0.0 <= pp <= 1.0
+
+
+def test_label_fallback_matches_scipy_exactly():
+    """The scipy-free CCL fallback must be drop-in identical to
+    scipy.ndimage.label (labels AND raster numbering), so post_process
+    behaves the same whichever path runs (reference: utils.py:58-84)."""
+    from scipy import ndimage
+
+    from segtpu.metrics.metrics import _label_fallback
+
+    rng = np.random.default_rng(7)
+    cases = [(rng.random((37, 53)) < d).astype(np.uint8)
+             for d in (0.05, 0.3, 0.5, 0.7, 0.95) for _ in range(3)]
+    cases += [
+        np.zeros((8, 8), np.uint8),           # empty
+        np.ones((8, 8), np.uint8),            # one full component
+        np.eye(16, dtype=np.uint8),           # diagonal: 4-conn splits it
+    ]
+    serp = np.zeros((21, 21), np.uint8)       # serpentine single component
+    serp[::2, :] = 1
+    serp[1::4, -1] = 1
+    serp[3::4, 0] = 1
+    cases.append(serp)
+
+    for binary in cases:
+        lab_s, num_s = ndimage.label(binary)
+        lab_f, num_f, sizes_f = _label_fallback(binary)
+        assert num_f == num_s
+        assert np.array_equal(lab_f, lab_s)
+        if num_s:
+            sizes_s = ndimage.sum(binary, lab_s, range(1, num_s + 1))
+            assert np.array_equal(np.asarray(sizes_s, np.int64), sizes_f)
