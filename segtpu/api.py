@@ -104,26 +104,47 @@ class Segmenter:
             arr = arr[..., None]
         return jnp.asarray(arr, jnp.float32)
 
-    def predict_proba(self, images, tta: bool = False) -> np.ndarray:
+    def predict_proba(self, images, tta: bool = False,
+                      chunk: Optional[int] = None) -> np.ndarray:
         """Sigmoid probability maps (N, S, S, n_classes).
 
         ``tta=True`` averages over the exact D4 symmetries of the image
         plane (segtpu.infer.tta) — ~8× compute for a typically small but
-        consistent IoU gain; not in the reference."""
+        consistent IoU gain; not in the reference.
+
+        ``chunk``: process at most ``chunk`` images per device dispatch
+        (the last chunk is zero-padded to the same shape, so the WHOLE
+        stream reuses ONE compiled program and peak HBM is bounded by the
+        chunk) — the production path for arbitrarily long image lists."""
         state = self._require_state()
         x = self._prep_images(images)
         if tta:
             from segtpu.infer.tta import tta_predict_proba
-            return np.asarray(tta_predict_proba(self.engine.model, state, x))
-        from segtpu.infer.predict import predict_proba
-        return np.asarray(predict_proba(self.engine.model, state, x))
+            fn = lambda v: tta_predict_proba(self.engine.model, state, v)
+        else:
+            from segtpu.infer.predict import predict_proba
+            fn = lambda v: predict_proba(self.engine.model, state, v)
+        n = x.shape[0]
+        if chunk is None or n <= chunk:
+            return np.asarray(fn(x))
+        outs = []
+        for i in range(0, n, chunk):
+            part = x[i:i + chunk]
+            pad = chunk - part.shape[0]
+            if pad:
+                part = jnp.concatenate(
+                    [part, jnp.zeros((pad, *part.shape[1:]), part.dtype)])
+            o = np.asarray(fn(part))
+            outs.append(o[:chunk - pad] if pad else o)
+        return np.concatenate(outs)
 
     def predict(self, images, threshold: float = 0.5,
                 post_process_min_size: Optional[int] = None,
-                tta: bool = False) -> np.ndarray:
+                tta: bool = False,
+                chunk: Optional[int] = None) -> np.ndarray:
         """Binary masks at the reference's 0.5 threshold (utils.py:108),
         optionally with connected-component cleanup (utils.py:58-84)."""
-        probs = self.predict_proba(images, tta=tta)
+        probs = self.predict_proba(images, tta=tta, chunk=chunk)
         if post_process_min_size is not None:
             from segtpu.metrics import post_process
             return np.stack([post_process(p[..., 0], post_process_min_size)
@@ -131,12 +152,13 @@ class Segmenter:
         return (probs > threshold).astype(np.uint8)
 
     def predict_tiled(self, image, tile: int = 512, overlap: int = 64,
-                      batch_tiles: int = 8) -> np.ndarray:
-        """Large-image sliding-window inference with overlap blending."""
+                      batch_tiles: int = 8, tta: bool = False) -> np.ndarray:
+        """Large-image sliding-window inference with overlap blending.
+        ``tta=True`` D4-symmetry-averages each tile (segtpu/infer/tta.py)."""
         from segtpu.infer.tiled import tiled_predict
         return tiled_predict(self.engine.model, self._require_state(), image,
                              tile=tile, overlap=overlap,
-                             batch_tiles=batch_tiles)
+                             batch_tiles=batch_tiles, tta=tta)
 
     # ---------------------------------------------------------- evaluate
 

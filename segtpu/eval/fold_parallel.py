@@ -200,6 +200,24 @@ def train_folds_parallel(
         min_delta=config.get("early_stopping_min_delta", 0.001))
         for _ in range(K)]
     lrs = np.full(K, lr0, np.float64)
+    # Linear LR warmup, mirroring train_model (loop.py): epoch e in 1..W
+    # runs at lr0·e/W for every fold; schedulers engage after the ramp.
+    warmup = int(config.get("warmup_epochs", 0))
+    # Cosine LR decay, mirroring train_model: metric-independent, so the
+    # stream window pipelines at full depth with per-epoch LRs; the
+    # plateau schedulers are bypassed entirely.
+    schedule = str(config.get("lr_schedule", "plateau")).lower()
+    if schedule not in ("plateau", "cosine"):
+        raise ValueError(
+            f"Unknown lr_schedule '{schedule}' (plateau|cosine)")
+    if schedule == "cosine":
+        import math
+        _cmin = float(config.get("min_lr", 1e-6))
+        _cspan = max(1, num_epochs - warmup)
+
+        def _cos_lr(e: int) -> float:
+            return _cmin + 0.5 * (lr0 - _cmin) * (
+                1.0 + math.cos(math.pi * (e - warmup) / _cspan))
     active = np.ones(K, bool)
     tr_hist: List[List[Dict]] = [[] for _ in range(K)]
     va_hist: List[List[Dict]] = [[] for _ in range(K)]
@@ -214,13 +232,19 @@ def train_folds_parallel(
     chains = [jax.random.key(s + 1) for s in seeds]
 
     def controller_step(k: int, epoch: int, tt, vt, nk: int, nvk: int,
-                        improved) -> None:
+                        improved, ran_lr=None) -> None:
         tm = dict(zip(METRIC_KEYS, map(float, np.asarray(tt) / nk)))
         vm = dict(zip(METRIC_KEYS, map(float, np.asarray(vt) / nvk)))
         tr_hist[k].append(tm)
         va_hist[k].append(vm)
-        lrs[k] = schedulers[k].step(vm["iou"])
-        lr_hist[k].append(float(lrs[k]))
+        if schedule == "cosine":
+            # history records the LR the epoch ran at (loop.py parity)
+            lr_hist[k].append(float(ran_lr if ran_lr is not None
+                                    else lrs[k]))
+        else:
+            if epoch + 1 > warmup:
+                lrs[k] = schedulers[k].step(vm["iou"])
+            lr_hist[k].append(float(lrs[k]))
         if vm["iou"] > best_iou[k]:
             best_iou[k] = vm["iou"]
             best_epoch[k] = epoch
@@ -232,6 +256,10 @@ def train_folds_parallel(
     t0 = time.time()
     if strategy == "vmap":
         for epoch in range(num_epochs):
+            if epoch < warmup:
+                lrs[:] = lr0 * (epoch + 1) / warmup
+            elif schedule == "cosine":
+                lrs[:] = _cos_lr(epoch)
             keys = []
             for k in range(K):
                 chains[k], sk = jax.random.split(chains[k])
@@ -274,12 +302,24 @@ def train_folds_parallel(
         epoch = 0
         while epoch < num_epochs and active.any():
             live = np.nonzero(active)[0]
-            h = min([pipeline, num_epochs - epoch]
-                    + [schedulers[k].safe_horizon() for k in live]
-                    + [stoppers[k].safe_horizon() for k in live])
+            if epoch < warmup:
+                h = 1
+                lrs[live] = lr0 * (epoch + 1) / warmup
+            elif schedule == "cosine":
+                # no scheduler events to predict — full window depth
+                h = min([pipeline, num_epochs - epoch]
+                        + [stoppers[k].safe_horizon() for k in live])
+            else:
+                h = min([pipeline, num_epochs - epoch]
+                        + [schedulers[k].safe_horizon() for k in live]
+                        + [stoppers[k].safe_horizon() for k in live])
             pending = []  # per window step: {fold: (tt, vt)}
             snaps = []    # per window step: {fold: (params, batch_stats)}
-            for _ in range(h):
+            step_lrs = []  # per window step: the LR that step ran at
+            for i in range(h):
+                if schedule == "cosine" and epoch + i >= warmup:
+                    lrs[live] = _cos_lr(epoch + i)
+                step_lrs.append(float(lrs[live[0]]))
                 pj, sj = {}, {}
                 for k in live:
                     chains[k], sk = jax.random.split(chains[k])
@@ -293,13 +333,13 @@ def train_folds_parallel(
                 snaps.append(sj)
             # all K×h epochs are enqueued back-to-back; one batched sync
             fetched = jax.device_get(pending)
-            for pj, sj in zip(fetched, snaps):
+            for j, (pj, sj) in enumerate(zip(fetched, snaps)):
                 improved = np.zeros(K, bool)
                 for k, (tt, vt) in pj.items():
                     if not active[k]:   # stopped earlier in this window
                         continue        # (unreachable by the horizon bound)
                     controller_step(k, epoch, tt, vt, ns[k], nvs[k],
-                                    improved)
+                                    improved, ran_lr=step_lrs[j])
                 for k in np.nonzero(improved)[0]:
                     best_pb_l[k] = sj[k]
                 epoch += 1

@@ -167,10 +167,13 @@ def make_tiled_predictor_many(apply_fn: Callable, tile: int = 512,
 
 
 def tiled_predict(model, state, image, tile: int = 512, overlap: int = 64,
-                  batch_tiles: int = 8) -> np.ndarray:
+                  batch_tiles: int = 8, tta: bool = False) -> np.ndarray:
     """One-call tiled inference on a single large image (H, W) or (H, W, 1).
 
-    Returns sigmoid probabilities (H, W, n_classes)."""
+    Returns sigmoid probabilities (H, W, n_classes). ``tta=True`` runs
+    each (square) tile through its full D4 symmetry average in
+    probability space (segtpu/infer/tta.py) before blending — ~8× tile
+    compute, same peak memory."""
     img = jnp.asarray(image, jnp.float32)
     if img.ndim == 2:
         img = img[..., None]
@@ -179,6 +182,12 @@ def tiled_predict(model, state, image, tile: int = 512, overlap: int = 64,
         return model.apply({"params": state.params,
                             "batch_stats": state.batch_stats}, x, train=False)
 
+    if tta:
+        from segtpu.infer.tta import d4_average_apply
+        predictor = make_tiled_predictor(d4_average_apply(apply_fn),
+                                         tile=tile, overlap=overlap,
+                                         batch_tiles=batch_tiles)
+        return np.asarray(predictor(img))
     predictor = make_tiled_predictor(apply_fn, tile=tile, overlap=overlap,
                                      batch_tiles=batch_tiles)
     logits = predictor(img)

@@ -94,3 +94,25 @@ def tta_predict(model, state, images, threshold: float = 0.5) -> np.ndarray:
     """Symmetry-averaged binary masks at the reference's 0.5 threshold."""
     return np.asarray(tta_predict_proba(model, state, images) > threshold,
                       dtype=np.uint8)
+
+
+def d4_average_apply(apply_fn, out_transform=jax.nn.sigmoid):
+    """Wrap a square-input ``apply_fn(x: (B,S,S,Cin)) -> (B,S,S,Cout)``
+    into its D4 symmetry average in ``out_transform`` space (probability
+    space by default, matching :func:`tta_predict_proba`).
+
+    The wrapped function is a drop-in ``apply_fn`` for the tiled
+    sliding-window predictor (segtpu/infer/tiled.py) — tiles are square,
+    so the full 8-element group applies per tile, and the cosine-window
+    blending then averages probabilities whose per-tile symmetrization is
+    already exact. Same memory shape as a plain forward (unrolled
+    accumulation, see module docstring)."""
+
+    def wrapped(x):
+        acc = None
+        for k, t in D4_ELEMENTS:
+            p = _invert_d4(out_transform(apply_fn(_apply_d4(x, k, t))), k, t)
+            acc = p if acc is None else acc + p
+        return acc / len(D4_ELEMENTS)
+
+    return wrapped

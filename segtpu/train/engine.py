@@ -30,7 +30,7 @@ from segtpu.core.caching import LRUCache
 from segtpu.losses import get_loss_function
 from segtpu.metrics import calculate_metrics
 from segtpu.models.unet import UNetWithBackbone, create_model_state
-from segtpu.train.optim import torch_adam, set_learning_rate
+from segtpu.train.optim import make_optimizer, set_learning_rate
 
 METRIC_KEYS = ("precision", "recall", "f1", "iou", "accuracy", "loss")
 
@@ -78,7 +78,9 @@ class TrainEngine:
 
     def __init__(self, model: UNetWithBackbone, loss_fn: Callable,
                  weight_decay_default: float = 0.0,
-                 multiclass: bool = False, remat: str = "none"):
+                 multiclass: bool = False, remat: str = "none",
+                 optimizer: str = "adam",
+                 optimizer_kwargs: Optional[Dict] = None):
         self.model = model
         self.loss_fn = loss_fn
         self.multiclass = multiclass
@@ -97,8 +99,9 @@ class TrainEngine:
         else:
             self._act = jax.nn.sigmoid
             self._metrics = calculate_metrics
-        self.tx = torch_adam(learning_rate=1e-3,
-                             weight_decay=weight_decay_default)
+        self.tx = make_optimizer(optimizer, learning_rate=1e-3,
+                                 weight_decay=weight_decay_default,
+                                 **(optimizer_kwargs or {}))
 
         # NOTE: no buffer donation — the training loop snapshots best
         # params by reference (train.py:207-210 analog) and callers may
@@ -499,6 +502,22 @@ def _loss_cache_key(config: Dict) -> Tuple:
     return tuple(config.get(k) for k in keys)
 
 
+_OPTIMIZER_KW = ("momentum", "nesterov", "b1", "b2", "adam_eps")
+
+
+def _optimizer_spec(config: Dict) -> Tuple[str, Tuple]:
+    """(name, kwargs-items) from config — cache-key-stable."""
+    name = str(config.get("optimizer", "adam")).lower()
+    kw = {}
+    for k in _OPTIMIZER_KW:
+        if config.get(k) is not None:
+            kw["eps" if k == "adam_eps" else k] = config[k]
+    if name != "sgd":
+        kw.pop("momentum", None)
+        kw.pop("nesterov", None)
+    return name, tuple(sorted(kw.items()))
+
+
 def get_engine(config: Dict, criterion: Optional[Callable] = None
                ) -> TrainEngine:
     """Engine factory with cross-fold caching.
@@ -523,10 +542,12 @@ def get_engine(config: Dict, criterion: Optional[Callable] = None
             reparam_in_train=model_key[7], fuse_gate=model_key[8])
 
     multiclass = model_key[2] > 1
+    opt_name, opt_kw = _optimizer_spec(config)
     if criterion is not None:
         return TrainEngine(build_model(), criterion, multiclass=multiclass,
-                           remat=model_key[6])
-    key = model_key + _loss_cache_key(config)
+                           remat=model_key[6], optimizer=opt_name,
+                           optimizer_kwargs=dict(opt_kw))
+    key = model_key + _loss_cache_key(config) + (opt_name, opt_kw)
     if key not in _ENGINE_CACHE:
         if multiclass:
             from segtpu.losses.multiclass import get_multiclass_loss
@@ -535,5 +556,7 @@ def get_engine(config: Dict, criterion: Optional[Callable] = None
             loss = get_loss_function(config)
         _ENGINE_CACHE[key] = TrainEngine(build_model(), loss,
                                          multiclass=multiclass,
-                                         remat=model_key[6])
+                                         remat=model_key[6],
+                                         optimizer=opt_name,
+                                         optimizer_kwargs=dict(opt_kw))
     return _ENGINE_CACHE[key]

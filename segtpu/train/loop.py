@@ -210,9 +210,10 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
     # epoch loop — shuffling, plateau LR, early stopping, best weights —
     # compiles into ONE device program. Opt-in via config fused_run=True;
     # requires the standard (None or max-mode plateau) scheduler.
-    if config.get("fused_run") and (
+    if (config.get("fused_run") and not config.get("warmup_epochs")
+            and config.get("lr_schedule", "plateau") == "plateau" and (
             scheduler is None or (isinstance(scheduler, ReduceLROnPlateau)
-                                  and scheduler.mode == "max")):
+                                  and scheduler.mode == "max"))):
         return _train_model_fused(engine, state, tr_imgs, tr_masks, va_imgs,
                                   va_masks, batch_size, num_epochs, lr,
                                   scheduler, config, augmenter, verbose)
@@ -259,20 +260,59 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
                                  tr_imgs, tr_masks)
     pipeline = auto_pipeline_window(config, per_epoch_bytes)
 
+    # Linear LR warmup (config ``warmup_epochs``, default 0 — the
+    # reference has none): epoch e in 1..W trains at lr·e/W, and the
+    # plateau scheduler only engages after the ramp (patience counters
+    # are meaningless mid-ramp). Each warmup epoch has its own LR, so
+    # the pipeline window is 1 there; mirrored in the fold-parallel loop
+    # (segtpu/eval/fold_parallel.py) for sequential/parallel parity.
+    warmup_epochs = int(config.get("warmup_epochs", 0))
+    base_lr = lr
+
+    # Cosine LR decay (config ``lr_schedule: "cosine"`` — new; the
+    # reference only has plateau): after the warmup ramp, epoch e runs at
+    # min_lr + (base_lr-min_lr)/2 · (1 + cos(π·(e-W)/(E-W))). The
+    # schedule is metric-INDEPENDENT, so unlike plateau every epoch's LR
+    # is known at dispatch time and the window pipelines at full depth
+    # with per-epoch LRs (the TPU-native win: zero extra host syncs). A
+    # passed plateau scheduler is ignored under cosine.
+    schedule = str(config.get("lr_schedule", "plateau")).lower()
+    if schedule not in ("plateau", "cosine"):
+        raise ValueError(
+            f"Unknown lr_schedule '{schedule}' (plateau|cosine)")
+    if schedule == "cosine":
+        scheduler = None
+        cos_min_lr = float(config.get("min_lr", 1e-6))
+        cos_span = max(1, num_epochs - warmup_epochs)
+
+        def _cos_lr(e: int) -> float:
+            import math
+            return cos_min_lr + 0.5 * (base_lr - cos_min_lr) * (
+                1.0 + math.cos(math.pi * (e - warmup_epochs) / cos_span))
+
     shuffle_key = jax.random.key(seed + 1)
     train_metrics: Dict = {}
     val_metrics: Dict = {}
     epoch = 0
     stopped = False
     while epoch < num_epochs and not stopped:
-        h = min(pipeline, num_epochs - epoch,
-                early_stopping.safe_horizon())
-        if scheduler is not None:
-            # duck-typed schedulers (only .step()) pipeline at depth 1 —
-            # their event timing is unknowable ahead of the metrics
-            h = min(h, getattr(scheduler, "safe_horizon", lambda: 1)())
+        if epoch < warmup_epochs:
+            h = 1
+            lr = base_lr * (epoch + 1) / warmup_epochs
+        else:
+            h = min(pipeline, num_epochs - epoch,
+                    early_stopping.safe_horizon())
+            if scheduler is not None:
+                # duck-typed schedulers (only .step()) pipeline at depth
+                # 1 — their event timing is unknowable ahead of the
+                # metrics
+                h = min(h, getattr(scheduler, "safe_horizon", lambda: 1)())
         window = []
-        for _ in range(h):
+        window_lrs = []
+        for i in range(h):
+            if schedule == "cosine" and epoch + i >= warmup_epochs:
+                lr = _cos_lr(epoch + i)
+            window_lrs.append(lr)
             shuffle_key, sk = jax.random.split(shuffle_key)
             state, tt, vt = engine.run_train_and_eval_epoch_async(
                 state, train_loader, val_loader, lr, sk)
@@ -283,7 +323,8 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
             window.append((state.params, state.batch_stats, tt, vt))
         # ONE host↔device sync for the whole window
         fetched = jax.device_get([(tt, vt) for _, _, tt, vt in window])
-        for (wparams, wstats, _, _), (tvals, vvals) in zip(window, fetched):
+        for wlr, (wparams, wstats, _, _), (tvals, vvals) in zip(
+                window_lrs, window, fetched):
             train_metrics = dict(zip(
                 METRIC_KEYS, map(float, np.asarray(tvals) / train_loader.n)))
             val_metrics = dict(zip(
@@ -298,12 +339,15 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
                     f"train={train_metrics['loss']}, "
                     f"val={val_metrics['loss']}")
 
-            if scheduler is not None:
+            if scheduler is not None and epoch + 1 > warmup_epochs:
                 lr = scheduler.step(val_metrics["iou"])
-            lr_history.append(lr)
+            # under cosine the history records the LR the epoch actually
+            # ran at; under plateau, the post-step LR (torch convention)
+            shown_lr = wlr if schedule == "cosine" else lr
+            lr_history.append(shown_lr)
 
             if logger is not None:
-                logger.log({"epoch": epoch, "lr": lr,
+                logger.log({"epoch": epoch, "lr": shown_lr,
                             **{f"train_{k}": v
                                for k, v in train_metrics.items()},
                             **{f"val_{k}": v
@@ -316,7 +360,7 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
                       f"Train IoU: {train_metrics['iou']:.4f}, "
                       f"Val Loss: {val_metrics['loss']:.4f}, "
                       f"Val IoU: {val_metrics['iou']:.4f}, "
-                      f"LR: {lr:.6f}")
+                      f"LR: {shown_lr:.6f}")
 
             if val_metrics["iou"] > best_iou:
                 best_iou = val_metrics["iou"]

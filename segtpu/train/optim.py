@@ -39,6 +39,68 @@ def torch_adam(learning_rate: float = 1e-3, weight_decay: float = 0.0,
         eps=eps)
 
 
+def _torch_adamw_chain(learning_rate: float, weight_decay: float = 0.0,
+                       b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+    # torch.optim.AdamW: p <- p - lr*(m_hat/(sqrt(v_hat)+eps) + wd*p)
+    # (DECOUPLED decay, scaled by lr) — optax.adamw's composition.
+    return optax.chain(
+        optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
+def _torch_sgd_chain(learning_rate: float, weight_decay: float = 0.0,
+                     momentum: float = 0.9, nesterov: bool = False):
+    # torch.optim.SGD (dampening=0): buf = mu*buf + g(+wd*p);
+    # update = buf (or g + mu*buf for nesterov) — optax.trace semantics.
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.trace(decay=momentum, nesterov=nesterov),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
+def _lamb_chain(learning_rate: float, weight_decay: float = 0.0,
+                b1: float = 0.9, b2: float = 0.999, eps: float = 1e-6):
+    # optax.lamb's composition (per-layer trust ratio on the Adam update).
+    return optax.chain(
+        optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_trust_ratio(),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
+_OPTIMIZER_CHAINS = {
+    "adam": _torch_adam_chain,
+    "adamw": _torch_adamw_chain,
+    "sgd": _torch_sgd_chain,
+    "lamb": _lamb_chain,
+}
+
+
+def make_optimizer(name: str = "adam", learning_rate: float = 1e-3,
+                   weight_decay: float = 0.0, **kwargs):
+    """Optimizer factory (config key ``optimizer``; capability beyond the
+    reference, which hard-codes Adam at train.py:331-335).
+
+    Every optimizer is an ``optax.inject_hyperparams`` chain whose
+    ``learning_rate`` / ``weight_decay`` are injected state, so the
+    plateau controller, epoch pipelining and checkpoint restore work
+    identically for all of them (no recompiles on LR cuts). ``adam`` is
+    torch-coupled-decay Adam (the reference's), ``adamw``/``sgd`` match
+    their torch counterparts, ``lamb`` follows optax."""
+    try:
+        chain = _OPTIMIZER_CHAINS[name.lower()]
+    except KeyError:
+        raise ValueError(
+            f"Unknown optimizer '{name}'. "
+            f"Available: {sorted(_OPTIMIZER_CHAINS)}") from None
+    return optax.inject_hyperparams(chain)(
+        learning_rate=learning_rate, weight_decay=weight_decay, **kwargs)
+
+
 def set_learning_rate(opt_state, lr: float):
     """Update the injected learning rate in an inject_hyperparams state
     (same pytree structure → no recompilation)."""

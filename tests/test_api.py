@@ -52,6 +52,16 @@ def test_predict_tta(fitted):
     assert set(np.unique(masks)).issubset({0, 1})
 
 
+def test_predict_chunked_matches_single_dispatch(fitted):
+    """chunk=N must give identical probabilities to one dispatch (incl.
+    the zero-padded remainder chunk) while reusing one program."""
+    seg, data = fitted
+    paths = data["image_paths"][:5]
+    whole = seg.predict_proba(paths)
+    chunked = seg.predict_proba(paths, chunk=2)   # 2+2+1(+1 pad)
+    np.testing.assert_allclose(chunked, whole, atol=1e-6)
+
+
 def test_evaluate_metrics(fitted):
     seg, data = fitted
     m = seg.evaluate(data["image_paths"][:4], data["mask_paths"][:4])

@@ -123,6 +123,30 @@ def test_tta_predict_thresholds(rng):
     assert set(np.unique(masks)).issubset({0, 1})
 
 
+def test_tiled_tta_single_tile_matches_batch_tta(rng):
+    """tiled_predict(tta=True) on an image that is exactly one tile must
+    equal the plain batch TTA (blending is a no-op there)."""
+    from segtpu.infer.tiled import tiled_predict
+
+    m, state = _tiny_state(jax.random.key(4), (1, 16, 16, 1))
+    img = rng.random((16, 16, 1)).astype(np.float32)
+    got = tiled_predict(m, state, img, tile=16, overlap=0, batch_tiles=1,
+                        tta=True)
+    want = np.asarray(tta_predict_proba(m, state, img[None]))[0]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_tiled_tta_multi_tile_shape_and_range(rng):
+    from segtpu.infer.tiled import tiled_predict
+
+    m, state = _tiny_state(jax.random.key(5), (1, 16, 16, 1))
+    img = rng.random((24, 28, 1)).astype(np.float32)
+    got = tiled_predict(m, state, img, tile=16, overlap=8, batch_tiles=2,
+                        tta=True)
+    assert got.shape == (24, 28, 1)
+    assert got.min() >= 0.0 and got.max() <= 1.0
+
+
 def test_tta_rejects_non_batch(rng):
     m, state = _tiny_state(jax.random.key(3), (1, 8, 8, 1))
     with pytest.raises(ValueError):
