@@ -173,6 +173,30 @@ class Segmenter:
             imgs, m, self.config["batch_size"], shuffle=False)
         return self.engine.run_eval_epoch(state, loader)
 
+    def sweep_threshold(self, images, masks, thresholds=None,
+                        metric: str = "iou", tta: bool = False,
+                        chunk: Optional[int] = None) -> Dict:
+        """Evaluate every binarization threshold in one device program and
+        return the ``metric``-optimal one (segtpu/metrics/threshold.py).
+        Input contract matches :meth:`evaluate`. Typical use::
+
+            sweep = seg.sweep_threshold(val_imgs, val_masks)
+            masks = seg.predict(test_imgs, threshold=sweep["best_threshold"])
+        """
+        self._require_state()
+        if int(self.config.get("n_classes", 1)) != 1:
+            raise ValueError("sweep_threshold is a binary-segmentation "
+                             "helper (n_classes == 1); multiclass masks "
+                             "come from the softmax argmax, not a "
+                             "threshold")
+        img_size = tuple(self.config["img_size"])
+        ci, cm = _to_canonical(images, masks, img_size)
+        imgs, m = _materialize(ci, cm)
+        probs = self.predict_proba(np.asarray(imgs), tta=tta, chunk=chunk)
+        from segtpu.metrics.threshold import sweep_thresholds
+        return sweep_thresholds(probs, m, thresholds=thresholds,
+                                metric=metric)
+
     # ------------------------------------------------------- persistence
 
     def save(self, path: str, name: str = "segmenter") -> str:

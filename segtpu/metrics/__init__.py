@@ -4,3 +4,4 @@ from segtpu.metrics.metrics import (
     post_process,
     compute_foreground_ratio,
 )
+from segtpu.metrics.threshold import sweep_thresholds

@@ -63,6 +63,17 @@ def _materialize(imgs_u8, masks_u8):
     return imgs, masks
 
 
+@jax.jit
+def _ema_update(ema, params, decay):
+    """One Polyak-averaging step: ema ← decay·ema + (1−decay)·params.
+
+    Traced once per params structure; called per epoch as a pure async
+    device op, so EMA tracking adds zero host syncs to the pipelined
+    window (the whole point of epoch pipelining on the ~1 s-RTT relay)."""
+    return jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p,
+                        ema, params)
+
+
 BCE_FAMILY_LOSSES = frozenset({
     "bce", "weighted_bce", "balanced_bce", "focal", "distance_map_bce",
     "boundary",
@@ -211,6 +222,7 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
     # compiles into ONE device program. Opt-in via config fused_run=True;
     # requires the standard (None or max-mode plateau) scheduler.
     if (config.get("fused_run") and not config.get("warmup_epochs")
+            and not config.get("ema_decay")
             and config.get("lr_schedule", "plateau") == "plateau" and (
             scheduler is None or (isinstance(scheduler, ReduceLROnPlateau)
                                   and scheduler.mode == "max"))):
@@ -237,7 +249,28 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
     from segtpu.core.logging import MetricsLogger
     logger = MetricsLogger(config.get("metrics_log"), echo=False) \
         if config.get("metrics_log") else None
+    tb = None
+    if config.get("tensorboard_dir"):
+        from segtpu.core.tboard import TBWriter
+        tb = TBWriter(config["tensorboard_dir"])
     debug_nans = bool(config.get("debug_nans", False))
+
+    # Weight EMA (config ``ema_decay``, default off — not in the
+    # reference): Polyak-average the params once per EPOCH, initialized at
+    # the starting weights. Per-epoch (not per-step) granularity keeps
+    # TrainState and every cached compiled program unchanged, and at
+    # typical decays (0.8-0.95 over tens of epochs) matches the usual
+    # per-step EMA smoothing scale. The averaged weights are evaluated
+    # once at the end (``ema_val_metrics``) and returned as ``ema_state``;
+    # they are NEVER silently adopted — the caller compares vs best_iou.
+    ema_decay = config.get("ema_decay")
+    ema_params = None
+    if ema_decay is not None:
+        ema_decay = float(ema_decay)
+        if not 0.0 <= ema_decay < 1.0:
+            raise ValueError(f"ema_decay must be in [0, 1), got {ema_decay}")
+        ema_params = state.params
+        ema_decay_arr = jnp.float32(ema_decay)  # one transfer, not per epoch
 
     # Epoch pipelining (TPU-relay-native): the per-epoch host fetch costs a
     # full relay round-trip (~1 s RTT) that dominates small-epoch trainings.
@@ -316,6 +349,12 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
             shuffle_key, sk = jax.random.split(shuffle_key)
             state, tt, vt = engine.run_train_and_eval_epoch_async(
                 state, train_loader, val_loader, lr, sk)
+            if ema_params is not None:
+                # async tree op on the dispatch queue; the early-stop
+                # horizon bound guarantees every dispatched epoch executes,
+                # so EMA over dispatched == EMA over executed epochs
+                ema_params = _ema_update(ema_params, state.params,
+                                         ema_decay_arr)
             # retain only what the controllers need (params/batch_stats
             # for best-weight snapshots, the metric totals): holding each
             # in-flight epoch's full TrainState would pin h Adam moment
@@ -353,6 +392,12 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
                             **{f"val_{k}": v
                                for k, v in val_metrics.items()}},
                            kind="epoch")
+            if tb is not None:
+                tb.add_scalars(
+                    {"lr": shown_lr,
+                     **{f"train/{k}": v for k, v in train_metrics.items()},
+                     **{f"val/{k}": v for k, v in val_metrics.items()}},
+                    step=epoch)
 
             if verbose:
                 print(f"Epoch {epoch+1:3d}/{num_epochs} - "
@@ -384,6 +429,23 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
               f"{time_elapsed % 60:.0f}s")
         print(f"Best validation IoU: {best_iou:.4f} at epoch {best_epoch+1}")
 
+    # EMA weights are evaluated BEFORE the best-weight restore: the
+    # average tracks the full trajectory and pairs with the FINAL running
+    # BN statistics, not the best epoch's snapshot.
+    ema_extra = {}
+    if ema_params is not None:
+        ema_state = state.replace(params=ema_params)
+        ema_val_metrics = engine.run_eval_epoch(ema_state, val_loader)
+        if verbose:
+            print(f"EMA(decay={ema_decay}) validation IoU: "
+                  f"{ema_val_metrics['iou']:.4f}")
+        if tb is not None:
+            tb.add_scalars({f"ema_val/{k}": v
+                            for k, v in ema_val_metrics.items()},
+                           step=max(epoch - 1, 0))
+        ema_extra = {"ema_state": ema_state,
+                     "ema_val_metrics": ema_val_metrics}
+
     if best_state is not None:
         state = state.replace(params=best_state[0], batch_stats=best_state[1])
 
@@ -394,8 +456,11 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
     augmenter.cleanup()
     if logger is not None:
         logger.close()
+    if tb is not None:
+        tb.close()
 
     return {
+        **ema_extra,
         "train_metrics": train_metrics_history,
         "val_metrics": val_metrics_history,
         "lr_history": lr_history,
@@ -464,6 +529,17 @@ def _train_model_fused(engine, state, tr_imgs, tr_masks, va_imgs, va_masks,
                             **{f"train_{k}": v for k, v in tm.items()},
                             **{f"val_{k}": v for k, v in vm.items()}},
                            kind="epoch")
+
+    if config.get("tensorboard_dir"):
+        from segtpu.core.tboard import TBWriter
+        with TBWriter(config["tensorboard_dir"]) as tb:
+            for e, (tm, vm, l) in enumerate(zip(out["train_history"],
+                                                out["val_history"],
+                                                out["lr_history"])):
+                tb.add_scalars(
+                    {"lr": l,
+                     **{f"train/{k}": v for k, v in tm.items()},
+                     **{f"val/{k}": v for k, v in vm.items()}}, step=e)
 
     if config.get("save_plots", False):
         plot_training_history(out["train_history"], out["val_history"],

@@ -49,7 +49,8 @@ def pytest_addoption(parser):
 FAST_MODULES = {
     "test_losses", "test_metrics", "test_ops", "test_models",
     "test_data", "test_misc", "test_engine_cache", "test_augment_stats",
-    "test_convert", "test_checkpoint", "test_viz",
+    "test_convert", "test_checkpoint", "test_viz", "test_tboard",
+    "test_threshold",
 }
 
 
