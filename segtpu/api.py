@@ -106,7 +106,8 @@ class Segmenter:
 
     def predict_proba(self, images, tta: bool = False,
                       chunk: Optional[int] = None) -> np.ndarray:
-        """Sigmoid probability maps (N, S, S, n_classes).
+        """Probability maps (N, S, S, n_classes): per-pixel sigmoid for
+        binary models, channel softmax (summing to 1) when n_classes > 1.
 
         ``tta=True`` averages over the exact D4 symmetries of the image
         plane (segtpu.infer.tta) — ~8× compute for a typically small but
@@ -142,13 +143,22 @@ class Segmenter:
                 post_process_min_size: Optional[int] = None,
                 tta: bool = False,
                 chunk: Optional[int] = None) -> np.ndarray:
-        """Binary masks at the reference's 0.5 threshold (utils.py:108),
-        optionally with connected-component cleanup (utils.py:58-84)."""
+        """Predicted masks (N, S, S, 1) uint8.
+
+        Binary (n_classes == 1): thresholded at the reference's 0.5
+        (utils.py:108), optionally with connected-component cleanup
+        (utils.py:58-84). Multiclass (n_classes > 1): the softmax ARGMAX
+        class index per pixel — ``threshold`` does not apply (pass
+        ``predict_proba`` output to custom decision rules instead), and
+        ``post_process_min_size`` is a binary-only helper."""
         probs = self.predict_proba(images, tta=tta, chunk=chunk)
-        if post_process_min_size is not None:
-            from segtpu.metrics import post_process
-            return np.stack([post_process(p[..., 0], post_process_min_size)
-                             for p in probs])[..., None]
+        if int(self.config.get("n_classes", 1)) > 1:
+            if post_process_min_size is not None:
+                raise ValueError(
+                    "post_process_min_size removes small BINARY components "
+                    "(utils.py:58-84); for multiclass, post-process the "
+                    "argmax mask per class yourself")
+            return np.argmax(probs, axis=-1).astype(np.uint8)[..., None]
         return (probs > threshold).astype(np.uint8)
 
     def predict_tiled(self, image, tile: int = 512, overlap: int = 64,
@@ -164,11 +174,14 @@ class Segmenter:
 
     def evaluate(self, images, masks) -> Dict[str, float]:
         """Reference evaluate contract (train.py:71-112): sample-weighted
-        loss + confusion metrics on a dataset."""
+        loss + confusion metrics on a dataset. For n_classes > 1 the masks
+        are integer class labels and the metrics are the macro-averaged
+        multiclass ones (losses/multiclass.py::calculate_metrics_multiclass)
+        — same keys, so downstream harnesses work unchanged."""
         state = self._require_state()
         img_size = tuple(self.config["img_size"])
         ci, cm = _to_canonical(images, masks, img_size)
-        imgs, m = _materialize(ci, cm)
+        imgs, m = _materialize(ci, cm, int(self.config.get("n_classes", 1)))
         loader = DeviceDataLoader.from_arrays(
             imgs, m, self.config["batch_size"], shuffle=False)
         return self.engine.run_eval_epoch(state, loader)
@@ -182,7 +195,12 @@ class Segmenter:
 
             sweep = seg.sweep_threshold(val_imgs, val_masks)
             masks = seg.predict(test_imgs, threshold=sweep["best_threshold"])
-        """
+
+        ``chunk`` defaults to the config batch_size so the probability
+        dispatches have the same peak-HBM profile as :meth:`evaluate`
+        (which batches through the loader); pass a larger chunk — or
+        explicitly ``chunk=len(images)`` — to trade memory for fewer
+        dispatches."""
         self._require_state()
         if int(self.config.get("n_classes", 1)) != 1:
             raise ValueError("sweep_threshold is a binary-segmentation "
@@ -192,6 +210,8 @@ class Segmenter:
         img_size = tuple(self.config["img_size"])
         ci, cm = _to_canonical(images, masks, img_size)
         imgs, m = _materialize(ci, cm)
+        if chunk is None:
+            chunk = int(self.config.get("batch_size", 4))
         probs = self.predict_proba(np.asarray(imgs), tta=tta, chunk=chunk)
         from segtpu.metrics.threshold import sweep_thresholds
         return sweep_thresholds(probs, m, thresholds=thresholds,

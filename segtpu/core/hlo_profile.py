@@ -1,0 +1,488 @@
+"""Optimized-HLO parsing: byte attribution and collective extraction.
+
+Library home of the fusion-aware HLO byte-attribution parser (built for
+VERDICT r3 #2, validated exactly against XLA's own cost analysis in
+tests/test_misc_hlo_profile.py) plus the round-5 collective extractor
+used to quantify multi-chip scaling (VERDICT r4 #1).
+
+The reference has no analog (single-device torch, SURVEY.md §2.4); this
+is TPU-framework tooling: parse ``compiled.as_text()`` of any jitted
+program — including GSPMD-partitioned multi-chip programs — and answer
+"which tensors move", "which ops are collectives and how many bytes do
+they carry over ICI".
+
+TPU HLO specifics handled (a naive regex is not enough):
+- convolutions live inside kOutput fusion BODIES; attribution follows
+  ``calls=`` and reads the conv's ``dim_labels`` to split fwd/dgrad/wgrad;
+- tuple types/layouts nest parens (``(f32[64]{0:T(128)S(1)}, ...)``) —
+  fields are split by balanced paren scanning;
+- ``metadata={op_name="jit(...)/transpose(jvp(...))/..."}`` marks
+  backward-pass instructions;
+- collectives may be sync (``all-reduce``) or async pairs
+  (``all-reduce-start``/``-done``) and may live inside while/scan bodies.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import defaultdict
+
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2, "f16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
+    "c64": 8, "c128": 16,
+}
+
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+_OPNAME_RE = re.compile(r'op_name="([^"]*)"')
+_SOURCE_RE = re.compile(r'source_file="([^"]*)"\s+source_line=(\d+)')
+_CALLS_RE = re.compile(r"(?:calls|body|condition|to_apply)=%?([\w.\-]+)")
+_BRANCHES_RE = re.compile(r"branch_computations=\{([^}]*)\}")
+_DIMLABELS_RE = re.compile(r"dim_labels=([\w?]+)_([\w?]+)->([\w?]+)")
+
+
+def shape_bytes(type_str: str) -> int:
+    """Total bytes of an HLO type string (handles tuples)."""
+    total = 0
+    for m in _SHAPE_RE.finditer(type_str):
+        dt, dims = m.group(1), m.group(2)
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def _balanced_span(s: str, start: int) -> int:
+    """Index one past the matching close paren for the '(' at ``start``."""
+    depth = 0
+    for i in range(start, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    return len(s)
+
+
+def parse_instruction(line: str):
+    """One HLO instruction line → (name, type_str, opcode, operands, attrs).
+
+    Returns None for non-instruction lines. Handles tuple types whose
+    layout annotations contain parens (``{0:T(128)S(1)}``) by balanced
+    scanning instead of regex.
+    """
+    s = line.strip()
+    if s.startswith("ROOT "):
+        s = s[5:]
+    eq = s.find(" = ")
+    if eq <= 0 or not (s.startswith("%") or re.match(r"[\w.\-]+ =", s)):
+        return None
+    name = s[:eq].lstrip("%")
+    if not re.fullmatch(r"[\w.\-]+", name):
+        return None
+    rest = s[eq + 3:]
+    # type: tuple → balanced parens; else the next whitespace token
+    if rest.startswith("("):
+        end = _balanced_span(rest, 0)
+        type_str = rest[:end]
+        rest = rest[end:].lstrip()
+    else:
+        sp = rest.find(" ")
+        if sp < 0:
+            return None
+        type_str = rest[:sp]
+        rest = rest[sp + 1:].lstrip()
+    # opcode up to the operand paren
+    par = rest.find("(")
+    if par <= 0:
+        return None
+    opcode = rest[:par]
+    if not re.fullmatch(r"[\w\-]+", opcode):
+        return None
+    end = _balanced_span(rest, par)
+    operand_str = rest[par + 1:end - 1]
+    attrs = rest[end:]
+    return name, type_str, opcode, operand_str, attrs
+
+
+def _operand_names(operand_str: str):
+    """Instruction names referenced in an operand list.
+
+    Operands may be bare (``%fusion.3``) or typed
+    (``f32[2,2]{1,0} %p0``); layouts in types contain parens but never
+    '%', so every %-token inside the operand parens is an operand.
+    """
+    return [m.group(1) for m in re.finditer(r"%([\w.\-]+)", operand_str)]
+
+
+def _conv_kind(dim_labels_attrs: str, opname: str) -> str:
+    """fwd / dgrad / wgrad / transpose from a conv's dim_labels + op_name.
+
+    XLA canonical forms (b=batch, f=feature, i=input-, o=output-feature):
+      forward: b01f_01io->b01f     wgrad: f01b_i01o->01bf (out is a kernel)
+      dgrad:   b01f_01oi->b01f (kernel i/o transposed, window reversed)
+    """
+    m = _DIMLABELS_RE.search(dim_labels_attrs)
+    if m:
+        lhs, rhs, out = m.groups()
+        if not out.startswith("b"):  # output is kernel-shaped (01bf/01fb/
+            return "conv_wgrad"      # f01b): gradient w.r.t. a weight
+        if rhs.index("o") < rhs.index("i"):
+            # transposed kernel: dgrad, or a ConvTranspose forward
+            if "transpose(jvp" in opname:
+                return "conv_dgrad"
+            return "conv_transpose"
+    if "transpose(jvp" in opname:
+        return "conv_dgrad"
+    return "conv_fwd"
+
+
+# Computation headers may have nested parens in the param list
+# (tuple-typed args, e.g. scan carries) — match greedily to '->'.
+_COMP_RE = re.compile(r"^(ENTRY\s+)?%?([\w.\-]+)\s*(?:\(.*\))?\s*->.*{")
+
+
+def _split_computations(hlo_text: str):
+    """HLO text → {computation name: [instruction lines]}, entry name."""
+    comps, entry = {}, None
+    cur = None
+    for ln in hlo_text.splitlines():
+        m = _COMP_RE.match(ln)
+        if m:
+            cur = m.group(2)
+            comps[cur] = []
+            if m.group(1):
+                entry = cur
+            continue
+        if ln.strip() == "}":
+            cur = None
+            continue
+        if cur is not None:
+            comps[cur].append(ln)
+    return comps, entry
+
+
+def _fusion_body_conv(comp_lines) -> str | None:
+    """If a fusion body contains a convolution, return its attrs text."""
+    for ln in comp_lines:
+        p = parse_instruction(ln)
+        if p and p[2] == "convolution":
+            return p[4]
+    return None
+
+
+def classify(opcode: str, attrs: str, comps: dict, opname: str) -> str:
+    """Bucket an instruction by what it computes."""
+    if opcode in ("parameter", "constant", "iota", "get-tuple-element",
+                  "tuple", "bitcast", "after-all", "partition-id",
+                  "replica-id"):
+        return "_skip"
+    if opcode in ("while", "call", "conditional"):
+        return "_skip"  # bodies accounted at their own instructions
+    bwd = "transpose(jvp" in opname
+    if opcode == "convolution":
+        return _conv_kind(attrs, opname)
+    if opcode == "fusion":
+        cm = _CALLS_RE.search(attrs)
+        body = comps.get(cm.group(1)) if cm else None
+        if body is not None:
+            conv_attrs = _fusion_body_conv(body)
+            if conv_attrs is not None:
+                return _conv_kind(conv_attrs, opname)
+        if "reduce" in opname.rsplit("/", 1)[-1] or (
+                body and any(" reduce(" in ln or " reduce-window(" in ln
+                             for ln in body)):
+            return "fusion_reduce_bwd" if bwd else "fusion_reduce_fwd"
+        return "fusion_elem_bwd" if bwd else "fusion_elem_fwd"
+    if opcode == "custom-call":
+        return "conv_custom" if "onv" in attrs else "custom_call"
+    if opcode == "dot":
+        return "dot_bwd" if bwd else "dot_fwd"
+    if opcode in ("reduce", "reduce-window"):
+        return "reduce"
+    if opcode in ("copy", "copy-start", "transpose", "reshape", "reverse",
+                  "slice", "dynamic-slice", "dynamic-update-slice", "pad",
+                  "concatenate", "broadcast", "gather", "scatter"):
+        return "data_movement"
+    if opcode == "select-and-scatter":
+        return "pool_bwd"
+    if opcode == "async-start":
+        return "data_movement"  # async copy/collective: charge the start
+    if opcode in ("copy-done", "async-done", "async-update"):
+        return "_skip"  # bytes charged at the paired start
+    if opcode in ("all-reduce", "all-gather", "reduce-scatter",
+                  "collective-permute"):
+        return "collective"
+    if opcode == "convert":
+        return "convert"
+    return "other"
+
+
+def profile_hlo(hlo_text: str, top_buffers: int = 20) -> dict:
+    """Parse optimized HLO text → per-class/per-source byte totals.
+
+    Only the ENTRY computation (plus computations reached via
+    while/call/conditional — e.g. lax.scan bodies) is charged: fusion
+    bodies are internal (their intermediates never touch HBM), and
+    counting them quadruple-bills the module (observed 7.8 GB parsed vs
+    XLA's 1.9 GB accessed on the CPU smoke before this split)."""
+    comps, entry = _split_computations(hlo_text)
+    include = set()
+    frontier = [entry] if entry else list(comps)[-1:]
+    while frontier:
+        c = frontier.pop()
+        if c in include or c not in comps:
+            continue
+        include.add(c)
+        for ln in comps[c]:
+            p = parse_instruction(ln)
+            if p and p[2] in ("while", "call", "conditional"):
+                for cm in _CALLS_RE.finditer(p[4]):
+                    frontier.append(cm.group(1))
+                bm = _BRANCHES_RE.search(p[4])
+                if bm:
+                    frontier.extend(
+                        n.strip().lstrip("%")
+                        for n in bm.group(1).split(",") if n.strip())
+
+    out_bytes: dict = {}   # instr name → output bytes
+    per_class = defaultdict(lambda: [0, 0])  # class → [count, bytes]
+    per_dtype = defaultdict(int)             # dtype → output bytes written
+    per_source = defaultdict(lambda: [0, 0])  # file:line → [count, bytes]
+    buffers = []           # (bytes, name, opcode, shapes)
+
+    parsed = []
+    for c in include:
+        for ln in comps[c]:
+            p = parse_instruction(ln)
+            if p is None:
+                continue
+            name, type_str, opcode, operand_str, attrs = p
+            b = shape_bytes(type_str)
+            out_bytes[name] = b
+            shapes = " ".join(f"{sm.group(1)}[{sm.group(2)}]"
+                              for sm in _SHAPE_RE.finditer(type_str))
+            parsed.append((name, opcode, operand_str, attrs, b, shapes))
+
+    for name, opcode, operand_str, attrs, b, shapes in parsed:
+        om = _OPNAME_RE.search(attrs)
+        opname = om.group(1) if om else ""
+        cls = classify(opcode, attrs, comps, opname)
+        if cls == "_skip":
+            continue
+        ops = sum(out_bytes.get(o, 0) for o in _operand_names(operand_str))
+        total = b + ops
+        per_class[cls][0] += 1
+        per_class[cls][1] += total
+        sm = _SOURCE_RE.search(attrs)
+        if sm:
+            src = f"{os.path.basename(sm.group(1))}:{sm.group(2)}"
+            tag = " bwd" if "transpose(jvp" in opname else ""
+            per_source[src + tag][0] += 1
+            per_source[src + tag][1] += total
+        if opcode not in ("parameter", "constant"):
+            buffers.append((b, name, opcode, shapes))
+            for s2 in _SHAPE_RE.finditer(shapes):
+                if s2.group(1) in _DTYPE_BYTES:
+                    n = 1
+                    for d in s2.group(2).split(","):
+                        if d:
+                            n *= int(d)
+                    per_dtype[s2.group(1)] += n * _DTYPE_BYTES[s2.group(1)]
+
+    buffers.sort(reverse=True)
+    return {
+        "per_class": {k: {"count": v[0], "bytes": v[1]}
+                      for k, v in sorted(per_class.items(),
+                                         key=lambda kv: -kv[1][1])},
+        "per_source": {k: {"count": v[0], "bytes": v[1]}
+                       for k, v in sorted(per_source.items(),
+                                          key=lambda kv: -kv[1][1])[:30]},
+        "per_dtype_written": dict(sorted(per_dtype.items(),
+                                         key=lambda kv: -kv[1])),
+        "total_bytes": sum(v[1] for v in per_class.values()),
+        "top_buffers": [{"bytes": b, "name": n, "opcode": o, "shape": s}
+                        for b, n, o, s in buffers[:top_buffers]],
+    }
+
+
+# ----------------------------------------------------------- collectives
+# Round-5 (VERDICT r4 #1): extract every communication op from a
+# GSPMD-partitioned module so the multi-chip story has NUMBERS — which
+# collectives, how many bytes over ICI, inserted where.
+
+#: sync collective opcodes; async ones appear as "<op>-start"/"<op>-done"
+COLLECTIVE_OPS = frozenset({
+    "all-reduce", "all-gather", "reduce-scatter", "collective-permute",
+    "all-to-all",
+})
+
+
+def _entry_reachable(comps: dict, entry):
+    """Computation names reachable from ENTRY via while/call/conditional
+    (same traversal as profile_hlo: fusion bodies are internal)."""
+    include = set()
+    frontier = [entry] if entry else list(comps)[-1:]
+    while frontier:
+        c = frontier.pop()
+        if c in include or c not in comps:
+            continue
+        include.add(c)
+        for ln in comps[c]:
+            p = parse_instruction(ln)
+            if p and p[2] in ("while", "call", "conditional"):
+                for cm in _CALLS_RE.finditer(p[4]):
+                    frontier.append(cm.group(1))
+                bm = _BRANCHES_RE.search(p[4])
+                if bm:
+                    frontier.extend(n.strip().lstrip("%")
+                                    for n in bm.group(1).split(",")
+                                    if n.strip())
+    return include
+
+
+def _balanced_braces(s: str, start: int) -> int:
+    depth = 0
+    for i in range(start, len(s)):
+        if s[i] == "{":
+            depth += 1
+        elif s[i] == "}":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    return len(s)
+
+
+def _replica_groups(attrs: str):
+    i = attrs.find("replica_groups=")
+    if i < 0:
+        return None
+    j = attrs.find("{", i)
+    if j < 0:
+        return None
+    return attrs[j:_balanced_braces(attrs, j)]
+
+
+def extract_collectives(hlo_text: str):
+    """All communication instructions reachable from ENTRY.
+
+    Returns a list of dicts: opcode (base name, '-start' folded in;
+    '-done' halves skipped), payload_bytes (the ICI-traffic-relevant
+    side: INPUT bytes for all-reduce / reduce-scatter / all-to-all /
+    collective-permute, OUTPUT bytes for all-gather — the full gathered
+    array), out_bytes, shape, replica_groups, computation, op_name.
+
+    Caveat: an instruction inside a ``while`` body (e.g. a lax.scan epoch)
+    executes once PER ITERATION; entries carry their computation name so
+    callers can weight by trip count. Use on the train STEP program for
+    per-step totals.
+    """
+    comps, entry = _split_computations(hlo_text)
+    include = _entry_reachable(comps, entry)
+    out_bytes = {}
+    parsed = []
+    for c in include:
+        for ln in comps[c]:
+            p = parse_instruction(ln)
+            if p is None:
+                continue
+            name, type_str, opcode, operand_str, attrs = p
+            out_bytes[name] = shape_bytes(type_str)
+            parsed.append((c, name, type_str, opcode, operand_str, attrs))
+
+    results = []
+    for c, name, type_str, opcode, operand_str, attrs in parsed:
+        base = opcode[:-6] if opcode.endswith("-start") else opcode
+        if base not in COLLECTIVE_OPS or opcode.endswith("-done"):
+            continue
+        ob = shape_bytes(type_str)
+        operand_b = sum(out_bytes.get(o, 0)
+                        for o in _operand_names(operand_str))
+        payload = ob if base == "all-gather" else operand_b
+        om = _OPNAME_RE.search(attrs)
+        shapes = " ".join(f"{m.group(1)}[{m.group(2)}]"
+                          for m in _SHAPE_RE.finditer(type_str))
+        results.append({
+            "opcode": base,
+            "async": opcode.endswith("-start"),
+            "payload_bytes": payload,
+            "out_bytes": ob,
+            "shape": shapes,
+            "replica_groups": _replica_groups(attrs),
+            "computation": c,
+            "op_name": om.group(1) if om else "",
+            "name": name,
+        })
+    return results
+
+
+def collective_summary(hlo_text: str) -> dict:
+    """Aggregate: {opcode: {count, payload_bytes}} + totals."""
+    per = defaultdict(lambda: [0, 0])
+    for c in extract_collectives(hlo_text):
+        per[c["opcode"]][0] += 1
+        per[c["opcode"]][1] += c["payload_bytes"]
+    return {
+        "per_op": {k: {"count": v[0], "payload_bytes": v[1]}
+                   for k, v in sorted(per.items(), key=lambda kv: -kv[1][1])},
+        "total_payload_bytes": sum(v[1] for v in per.values()),
+        "count": sum(v[0] for v in per.values()),
+    }
+
+
+# v5e ICI (public numbers, jax-ml.github.io/scaling-book): ~45 GB/s per
+# link per direction, 2-D torus. A 1-D bidirectional ring all-reduce uses
+# one axis (2×45 = 90 GB/s usable); a 2-D algorithm on a 2×4 slice can
+# use both axes (~180 GB/s). The conservative single-axis figure is the
+# default; both bounds are reported by predict_dp_scaling.
+V5E_ICI_LINK_GBPS = 45e9
+
+
+def ring_allreduce_time(payload_bytes: float, n: int,
+                        bw_bidir: float = 2 * V5E_ICI_LINK_GBPS) -> float:
+    """Bandwidth-bound ring all-reduce: reduce-scatter + all-gather each
+    move V·(N−1)/N over the ring → T = 2·V·(N−1)/(N·W_bidir)."""
+    if n <= 1:
+        return 0.0
+    return 2.0 * payload_bytes * (n - 1) / (n * bw_bidir)
+
+
+def predict_dp_scaling(allreduce_bytes: float, step_time_s: float,
+                       n_list=(2, 4, 8), overlap: float = 0.0) -> list:
+    """Weak-scaling DP efficiency table.
+
+    Model: per-chip batch (and so per-chip compute time ``step_time_s``)
+    held fixed while chips are added; each step pays one gradient
+    all-reduce of ``allreduce_bytes`` (payload is N-independent — every
+    chip ends with the full gradient). ``overlap`` ∈ [0,1]: fraction of
+    collective time hidden under the backward pass (XLA's latency-hiding
+    scheduler overlaps per-layer grad all-reduces with remaining
+    backprop; 0 = fully exposed, the conservative bound).
+
+    Returns [{n, t_allreduce_1d_ms, t_allreduce_2d_ms, efficiency_1d,
+    efficiency_2d, throughput_scale_1d, throughput_scale_2d}, ...].
+    """
+    rows = []
+    for n in n_list:
+        t1 = ring_allreduce_time(allreduce_bytes, n,
+                                 2 * V5E_ICI_LINK_GBPS) * (1 - overlap)
+        t2 = ring_allreduce_time(allreduce_bytes, n,
+                                 4 * V5E_ICI_LINK_GBPS) * (1 - overlap)
+        e1 = step_time_s / (step_time_s + t1)
+        e2 = step_time_s / (step_time_s + t2)
+        rows.append({
+            "n": n,
+            "t_allreduce_1d_ms": t1 * 1e3,
+            "t_allreduce_2d_ms": t2 * 1e3,
+            "efficiency_1d": e1,
+            "efficiency_2d": e2,
+            "throughput_scale_1d": n * e1,
+            "throughput_scale_2d": n * e2,
+        })
+    return rows

@@ -31,6 +31,7 @@ import socket
 import struct
 import threading
 import time
+import warnings
 from typing import Dict, Mapping, Optional
 
 # ---------------------------------------------------------------- CRC-32C
@@ -193,25 +194,55 @@ class TBWriter:
 def read_scalar_events(path: str):
     """Yield (wall_time, step, {tag: value}) from an event file written by
     TBWriter (or any file whose Events only carry simple_value summaries).
-    Verifies both masked CRCs of every record."""
+    Verifies both masked CRCs of every record.
+
+    A truncated or CRC-failing FINAL record — the torn tail a process
+    killed mid-write can leave — ends iteration after the complete prefix
+    (with a RuntimeWarning) instead of raising, preserving the writer's
+    crash-visible semantics: every completed epoch's points stay readable.
+    Corruption in a non-tail record still raises ValueError."""
     with open(path, "rb") as f:
         blob = f.read()
     off = 0
     while off < len(blob):
-        header = blob[off:off + 8]
-        (length,) = struct.unpack("<Q", header)
-        (hcrc,) = struct.unpack("<I", blob[off + 8:off + 12])
-        if hcrc != _masked_crc(header):
-            raise ValueError(f"bad length crc at offset {off}")
-        data = blob[off + 12:off + 12 + length]
-        (dcrc,) = struct.unpack("<I",
-                                blob[off + 12 + length:off + 16 + length])
-        if dcrc != _masked_crc(data):
-            raise ValueError(f"bad data crc at offset {off}")
-        off += 16 + length
+        end = None
+        try:
+            if off + 12 > len(blob):
+                raise _TornTail()
+            header = blob[off:off + 8]
+            (length,) = struct.unpack("<Q", header)
+            (hcrc,) = struct.unpack("<I", blob[off + 8:off + 12])
+            # a failing header CRC means `length` is untrustworthy: only
+            # treat it as a torn tail when the claimed record runs past EOF
+            end = off + 16 + length
+            if hcrc != _masked_crc(header):
+                raise ValueError(f"bad length crc at offset {off}")
+            if end > len(blob):
+                raise _TornTail()
+            data = blob[off + 12:off + 12 + length]
+            (dcrc,) = struct.unpack("<I",
+                                    blob[off + 12 + length:end])
+            if dcrc != _masked_crc(data):
+                raise ValueError(f"bad data crc at offset {off}")
+        except _TornTail:
+            warnings.warn(f"torn tail record at offset {off} of {path}; "
+                          "returning the complete prefix", RuntimeWarning)
+            return
+        except ValueError:
+            if end is None or end >= len(blob):
+                warnings.warn(
+                    f"torn tail record at offset {off} of {path}; "
+                    "returning the complete prefix", RuntimeWarning)
+                return
+            raise
+        off = end
         ev = _decode_event(data)
         if ev is not None:
             yield ev
+
+
+class _TornTail(Exception):
+    """Internal: a final record cut short by an interrupted write."""
 
 
 def _read_varint(buf: bytes, i: int):

@@ -580,6 +580,7 @@ class Pipeline:
         self.steps = [s if len(s) == 3 else (*s, False) for s in steps]
         self._batch_jit = None
         self._batch_jit_raw = None
+        self._batch_jit_label = None
 
     def __call__(self, pair: Pair, key: jax.Array, raw_hw=None) -> Pair:
         img, mask = pair
@@ -594,15 +595,32 @@ class Pipeline:
             mask = jnp.where(do, nm, mask)
         return img, mask
 
-    def batch_fn(self, raw: bool = False):
+    def batch_fn(self, raw: bool = False, label_mask: bool = False):
+        """``label_mask=True``: the mask holds INTEGER CLASS LABELS, not a
+        binary field — skip the reference's 0/255 scaling + >127 threshold
+        (dataset.py:180, binary-only) and round back to the nearest label.
+        Exact label preservation holds because every mask-touching
+        transform samples with NEAREST interpolation (t_affine/rot90/flip
+        relayouts), so augmented mask values stay in the input label set."""
         def one(img_u8, mask_u8, k, raw_hw=None):
             img = img_u8.astype(jnp.float32)
-            mask = mask_u8.astype(jnp.float32) * 255.0  # dataset.py:180
+            scale = 1.0 if label_mask else 255.0  # dataset.py:180
+            mask = mask_u8.astype(jnp.float32) * scale
             ai, am = self((img, mask), k, raw_hw=raw_hw)
-            return (jnp.floor(jnp.clip(ai, 0, 255) + 0.5)
-                    .astype(jnp.uint8),
-                    (am > 127.0).astype(jnp.uint8))
+            out_i = jnp.floor(jnp.clip(ai, 0, 255) + 0.5).astype(jnp.uint8)
+            if label_mask:
+                return out_i, jnp.floor(am + 0.5).astype(jnp.uint8)
+            return out_i, (am > 127.0).astype(jnp.uint8)
 
+        if label_mask:
+            if raw:
+                raise ValueError("label_mask is the production (canonical-"
+                                 "frame) path; raw-frame semantics are "
+                                 "forward-selection/binary only")
+            if self._batch_jit_label is None:
+                self._batch_jit_label = jax.jit(jax.vmap(
+                    lambda i, m, k: one(i, m, k)))
+            return self._batch_jit_label
         if raw:
             if self._batch_jit_raw is None:
                 self._batch_jit_raw = jax.jit(jax.vmap(one))
@@ -633,16 +651,20 @@ def _production_pipeline():
 
 def augment_batch(images_u8: jnp.ndarray, masks_u8: jnp.ndarray,
                   key: jax.Array, pipeline: Callable, copies: int,
-                  raw_hw=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  raw_hw=None, label_mask: bool = False
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Generate ``copies`` augmented versions of every canonical image.
 
     images_u8 (N,S,S) uint8, masks_u8 (N,S,S) uint8 {0,1} →
     (copies*N, S, S) uint8 images and binary masks, fully on device.
     ``raw_hw`` (N, 2) original pre-resize shapes enables the reference's
-    raw-pixel semantics for raw-frame-aware transforms (RAW_FRAME_AWARE)."""
+    raw-pixel semantics for raw-frame-aware transforms (RAW_FRAME_AWARE).
+    ``label_mask``: masks carry integer class labels (multiclass) — see
+    Pipeline.batch_fn."""
     n = images_u8.shape[0]
     if isinstance(pipeline, Pipeline):
-        fn = pipeline.batch_fn(raw=raw_hw is not None)
+        fn = pipeline.batch_fn(raw=raw_hw is not None,
+                               label_mask=label_mask)
     else:  # bare callable: wrap (no cross-call jit reuse)
         if raw_hw is not None:
             raise ValueError(
@@ -673,10 +695,12 @@ class CellAugmenter:
     but produces device arrays instead of temp files, so ``cleanup()`` is a
     no-op kept for API parity."""
 
-    def __init__(self, augmentations_per_image: int = 3, seed: int = 0):
+    def __init__(self, augmentations_per_image: int = 3, seed: int = 0,
+                 n_classes: int = 1):
         self.augmentations_per_image = int(augmentations_per_image)
         self._pipeline = _production_pipeline()
         self._key = jax.random.key(seed)
+        self._label_mask = int(n_classes) > 1
 
     def augment_training_data(self, images_u8: np.ndarray, masks_u8: np.ndarray
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -688,7 +712,8 @@ class CellAugmenter:
             return images_u8, masks_u8
         self._key, sub = jax.random.split(self._key)
         ai, am = augment_batch(images_u8, masks_u8, sub, self._pipeline,
-                               self.augmentations_per_image)
+                               self.augmentations_per_image,
+                               label_mask=self._label_mask)
         all_i = jnp.concatenate([images_u8, ai])
         all_m = jnp.concatenate([masks_u8, am])
         n0 = images_u8.shape[0]

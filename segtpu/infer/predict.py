@@ -20,13 +20,24 @@ def _apply(model, params, batch_stats, x):
                        train=False)
 
 
+def output_activation(model):
+    """Logits→probability map for a model: per-pixel sigmoid for binary
+    heads, channel softmax for multiclass (n_classes > 1) — matching the
+    activations the train engine scores with (train/engine.py)."""
+    if getattr(model, "n_classes", 1) > 1:
+        return lambda lg: jax.nn.softmax(lg, axis=-1)
+    return jax.nn.sigmoid
+
+
 @partial(jax.jit, static_argnums=(0,))
 def _predict_jit(model, params, batch_stats, x):
-    return jax.nn.sigmoid(_apply(model, params, batch_stats, x))
+    # `model` is a static arg: the activation branch resolves at trace time
+    return output_activation(model)(_apply(model, params, batch_stats, x))
 
 
 def predict_proba(model, state, images) -> jnp.ndarray:
-    """Sigmoid probabilities for a batch (B,H,W,1)."""
+    """Probability maps for a batch (B,H,W,C): sigmoid per channel for
+    binary models, softmax over channels for multiclass."""
     return _predict_jit(model, state.params, state.batch_stats,
                         jnp.asarray(images))
 

@@ -182,13 +182,15 @@ def tiled_predict(model, state, image, tile: int = 512, overlap: int = 64,
         return model.apply({"params": state.params,
                             "batch_stats": state.batch_stats}, x, train=False)
 
+    from segtpu.infer.predict import output_activation
+    act = output_activation(model)  # sigmoid, or channel softmax (n_classes>1)
     if tta:
         from segtpu.infer.tta import d4_average_apply
-        predictor = make_tiled_predictor(d4_average_apply(apply_fn),
-                                         tile=tile, overlap=overlap,
-                                         batch_tiles=batch_tiles)
+        predictor = make_tiled_predictor(
+            d4_average_apply(apply_fn, out_transform=act),
+            tile=tile, overlap=overlap, batch_tiles=batch_tiles)
         return np.asarray(predictor(img))
     predictor = make_tiled_predictor(apply_fn, tile=tile, overlap=overlap,
                                      batch_tiles=batch_tiles)
     logits = predictor(img)
-    return np.asarray(jax.nn.sigmoid(logits))
+    return np.asarray(act(logits))

@@ -62,8 +62,11 @@ def tta_elements(square: bool) -> Tuple[Tuple[int, int], ...]:
 
 @partial(jax.jit, static_argnums=(0, 4))
 def _tta_predict_jit(model, params, batch_stats, x, square: bool):
+    from segtpu.infer.predict import output_activation
+    act = output_activation(model)  # sigmoid, or softmax when multiclass
+
     def fwd(v):
-        return jax.nn.sigmoid(model.apply(
+        return act(model.apply(
             {"params": params, "batch_stats": batch_stats}, v, train=False))
 
     elems = tta_elements(square)
@@ -81,7 +84,9 @@ def _tta_predict_jit(model, params, batch_stats, x, square: bool):
 
 
 def tta_predict_proba(model, state, images) -> jnp.ndarray:
-    """Symmetry-averaged sigmoid probabilities for a batch (B,H,W,C)."""
+    """Symmetry-averaged probabilities for a batch (B,H,W,C) — sigmoid for
+    binary models, channel softmax for multiclass (each group element's
+    map is a point on the probability simplex, so their mean is too)."""
     x = jnp.asarray(images)
     if x.ndim != 4:
         raise ValueError(f"expected (B,H,W,C) batch, got shape {x.shape}")

@@ -57,9 +57,23 @@ def _to_canonical(images, masks, img_size):
     return np.asarray(images), np.asarray(masks)
 
 
-def _materialize(imgs_u8, masks_u8):
+def _materialize(imgs_u8, masks_u8, n_classes: int = 1):
+    """Canonical uint8 → normalized device arrays.
+
+    Binary (default): masks binarize to {0,1} float with a channel dim —
+    the reference's contract (dataset.py:63). Multiclass (n_classes > 1):
+    masks are INTEGER CLASS LABELS and pass through un-binarized (the
+    softmax losses/metrics take float labels, losses/multiclass.py)."""
     imgs = normalize_canonical(jnp.asarray(imgs_u8))
-    masks = (jnp.asarray(masks_u8) > 0).astype(jnp.float32)[..., None]
+    m = jnp.asarray(masks_u8)
+    if n_classes > 1:
+        masks = m.astype(jnp.float32)
+        if masks.ndim == imgs.ndim - 1:
+            masks = masks[..., None]
+        return imgs, masks
+    masks = (m > 0).astype(jnp.float32)
+    if masks.ndim == imgs.ndim - 1:
+        masks = masks[..., None]
     return imgs, masks
 
 
@@ -167,15 +181,25 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
         get_engine(config, criterion)
 
     # ---- data: canonical → (augment) → normalized device arrays
+    n_classes = int(config.get("n_classes", 1))
     tr_ci, tr_cm = _to_canonical(train_images, train_masks, img_size)
     va_ci, va_cm = _to_canonical(val_images, val_masks, img_size)
+    if n_classes > 1:
+        hi = max(int(np.asarray(tr_cm).max(initial=0)),
+                 int(np.asarray(va_cm).max(initial=0)))
+        if hi >= n_classes:
+            raise ValueError(
+                f"multiclass masks must hold integer labels in "
+                f"[0, n_classes); found label {hi} with "
+                f"n_classes={n_classes}")
 
-    augmenter = CellAugmenter(augmentations_per_image, seed=seed)
+    augmenter = CellAugmenter(augmentations_per_image, seed=seed,
+                              n_classes=n_classes)
     if augmentations_per_image > 0:
         tr_ci, tr_cm = augmenter.augment_training_data(tr_ci, tr_cm)
 
-    tr_imgs, tr_masks = _materialize(tr_ci, tr_cm)
-    va_imgs, va_masks = _materialize(va_ci, va_cm)
+    tr_imgs, tr_masks = _materialize(tr_ci, tr_cm, n_classes)
+    va_imgs, va_masks = _materialize(va_ci, va_cm, n_classes)
 
     train_loader = DeviceDataLoader.from_arrays(
         tr_imgs, tr_masks, batch_size, shuffle=True, seed=seed)
@@ -222,7 +246,7 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
     # compiles into ONE device program. Opt-in via config fused_run=True;
     # requires the standard (None or max-mode plateau) scheduler.
     if (config.get("fused_run") and not config.get("warmup_epochs")
-            and not config.get("ema_decay")
+            and config.get("ema_decay") is None
             and config.get("lr_schedule", "plateau") == "plateau" and (
             scheduler is None or (isinstance(scheduler, ReduceLROnPlateau)
                                   and scheduler.mode == "max"))):
@@ -254,210 +278,216 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
         from segtpu.core.tboard import TBWriter
         tb = TBWriter(config["tensorboard_dir"])
     debug_nans = bool(config.get("debug_nans", False))
+    # tb/logger/augmenter are released even when the epoch loop
+    # raises (debug_nans FloatingPointError, device errors): the
+    # per-event flush means only the handles would leak, but a
+    # long-lived caller (CV sweep) must not accumulate them.
+    try:
 
-    # Weight EMA (config ``ema_decay``, default off — not in the
-    # reference): Polyak-average the params once per EPOCH, initialized at
-    # the starting weights. Per-epoch (not per-step) granularity keeps
-    # TrainState and every cached compiled program unchanged, and at
-    # typical decays (0.8-0.95 over tens of epochs) matches the usual
-    # per-step EMA smoothing scale. The averaged weights are evaluated
-    # once at the end (``ema_val_metrics``) and returned as ``ema_state``;
-    # they are NEVER silently adopted — the caller compares vs best_iou.
-    ema_decay = config.get("ema_decay")
-    ema_params = None
-    if ema_decay is not None:
-        ema_decay = float(ema_decay)
-        if not 0.0 <= ema_decay < 1.0:
-            raise ValueError(f"ema_decay must be in [0, 1), got {ema_decay}")
-        ema_params = state.params
-        ema_decay_arr = jnp.float32(ema_decay)  # one transfer, not per epoch
+        # Weight EMA (config ``ema_decay``, default off — not in the
+        # reference): Polyak-average the params once per EPOCH, initialized at
+        # the starting weights. Per-epoch (not per-step) granularity keeps
+        # TrainState and every cached compiled program unchanged, and at
+        # typical decays (0.8-0.95 over tens of epochs) matches the usual
+        # per-step EMA smoothing scale. The averaged weights are evaluated
+        # once at the end (``ema_val_metrics``) and returned as ``ema_state``;
+        # they are NEVER silently adopted — the caller compares vs best_iou.
+        ema_decay = config.get("ema_decay")
+        ema_params = None
+        if ema_decay is not None:
+            ema_decay = float(ema_decay)
+            if not 0.0 <= ema_decay < 1.0:
+                raise ValueError(f"ema_decay must be in [0, 1), got {ema_decay}")
+            ema_params = state.params
+            ema_decay_arr = jnp.float32(ema_decay)  # one transfer, not per epoch
 
-    # Epoch pipelining (TPU-relay-native): the per-epoch host fetch costs a
-    # full relay round-trip (~1 s RTT) that dominates small-epoch trainings.
-    # The plateau scheduler and early stopper are patience counters, so from
-    # their CURRENT state a no-event horizon is provable: the next
-    # `scheduler.safe_horizon()` epochs must train at the current LR and a
-    # stop can only land on the last of `early_stopping.safe_horizon()`
-    # dispatches. Dispatching that whole window back-to-back and fetching
-    # ALL its metric totals in ONE device_get divides the RTT bill by the
-    # window size with ZERO mis-speculation — numerics are bit-identical to
-    # the per-epoch loop (same programs, same inputs, same key chain).
-    # `pipeline_epochs` caps the window; 1 disables pipelining. Memory:
-    # each in-flight epoch pins its params/batch_stats snapshot plus its
-    # queued program's inputs (a shuffled dataset view) until it runs —
-    # so unless pipeline_epochs is set explicitly, the window is sized
-    # from those bytes against an HBM budget (auto_pipeline_window): at
-    # HBM-tight scales (512² flagship training) this auto-reduces to 1-2
-    # instead of silently OOMing at the old fixed default of 4.
-    per_epoch_bytes = tree_bytes(state.params, state.batch_stats,
-                                 tr_imgs, tr_masks)
-    pipeline = auto_pipeline_window(config, per_epoch_bytes)
+        # Epoch pipelining (TPU-relay-native): the per-epoch host fetch costs a
+        # full relay round-trip (~1 s RTT) that dominates small-epoch trainings.
+        # The plateau scheduler and early stopper are patience counters, so from
+        # their CURRENT state a no-event horizon is provable: the next
+        # `scheduler.safe_horizon()` epochs must train at the current LR and a
+        # stop can only land on the last of `early_stopping.safe_horizon()`
+        # dispatches. Dispatching that whole window back-to-back and fetching
+        # ALL its metric totals in ONE device_get divides the RTT bill by the
+        # window size with ZERO mis-speculation — numerics are bit-identical to
+        # the per-epoch loop (same programs, same inputs, same key chain).
+        # `pipeline_epochs` caps the window; 1 disables pipelining. Memory:
+        # each in-flight epoch pins its params/batch_stats snapshot plus its
+        # queued program's inputs (a shuffled dataset view) until it runs —
+        # so unless pipeline_epochs is set explicitly, the window is sized
+        # from those bytes against an HBM budget (auto_pipeline_window): at
+        # HBM-tight scales (512² flagship training) this auto-reduces to 1-2
+        # instead of silently OOMing at the old fixed default of 4.
+        per_epoch_bytes = tree_bytes(state.params, state.batch_stats,
+                                     tr_imgs, tr_masks)
+        pipeline = auto_pipeline_window(config, per_epoch_bytes)
 
-    # Linear LR warmup (config ``warmup_epochs``, default 0 — the
-    # reference has none): epoch e in 1..W trains at lr·e/W, and the
-    # plateau scheduler only engages after the ramp (patience counters
-    # are meaningless mid-ramp). Each warmup epoch has its own LR, so
-    # the pipeline window is 1 there; mirrored in the fold-parallel loop
-    # (segtpu/eval/fold_parallel.py) for sequential/parallel parity.
-    warmup_epochs = int(config.get("warmup_epochs", 0))
-    base_lr = lr
+        # Linear LR warmup (config ``warmup_epochs``, default 0 — the
+        # reference has none): epoch e in 1..W trains at lr·e/W, and the
+        # plateau scheduler only engages after the ramp (patience counters
+        # are meaningless mid-ramp). Each warmup epoch has its own LR, so
+        # the pipeline window is 1 there; mirrored in the fold-parallel loop
+        # (segtpu/eval/fold_parallel.py) for sequential/parallel parity.
+        warmup_epochs = int(config.get("warmup_epochs", 0))
+        base_lr = lr
 
-    # Cosine LR decay (config ``lr_schedule: "cosine"`` — new; the
-    # reference only has plateau): after the warmup ramp, epoch e runs at
-    # min_lr + (base_lr-min_lr)/2 · (1 + cos(π·(e-W)/(E-W))). The
-    # schedule is metric-INDEPENDENT, so unlike plateau every epoch's LR
-    # is known at dispatch time and the window pipelines at full depth
-    # with per-epoch LRs (the TPU-native win: zero extra host syncs). A
-    # passed plateau scheduler is ignored under cosine.
-    schedule = str(config.get("lr_schedule", "plateau")).lower()
-    if schedule not in ("plateau", "cosine"):
-        raise ValueError(
-            f"Unknown lr_schedule '{schedule}' (plateau|cosine)")
-    if schedule == "cosine":
-        scheduler = None
-        cos_min_lr = float(config.get("min_lr", 1e-6))
-        cos_span = max(1, num_epochs - warmup_epochs)
+        # Cosine LR decay (config ``lr_schedule: "cosine"`` — new; the
+        # reference only has plateau): after the warmup ramp, epoch e runs at
+        # min_lr + (base_lr-min_lr)/2 · (1 + cos(π·(e-W)/(E-W))). The
+        # schedule is metric-INDEPENDENT, so unlike plateau every epoch's LR
+        # is known at dispatch time and the window pipelines at full depth
+        # with per-epoch LRs (the TPU-native win: zero extra host syncs). A
+        # passed plateau scheduler is ignored under cosine.
+        schedule = str(config.get("lr_schedule", "plateau")).lower()
+        if schedule not in ("plateau", "cosine"):
+            raise ValueError(
+                f"Unknown lr_schedule '{schedule}' (plateau|cosine)")
+        if schedule == "cosine":
+            scheduler = None
+            cos_min_lr = float(config.get("min_lr", 1e-6))
+            cos_span = max(1, num_epochs - warmup_epochs)
 
-        def _cos_lr(e: int) -> float:
-            import math
-            return cos_min_lr + 0.5 * (base_lr - cos_min_lr) * (
-                1.0 + math.cos(math.pi * (e - warmup_epochs) / cos_span))
+            def _cos_lr(e: int) -> float:
+                import math
+                return cos_min_lr + 0.5 * (base_lr - cos_min_lr) * (
+                    1.0 + math.cos(math.pi * (e - warmup_epochs) / cos_span))
 
-    shuffle_key = jax.random.key(seed + 1)
-    train_metrics: Dict = {}
-    val_metrics: Dict = {}
-    epoch = 0
-    stopped = False
-    while epoch < num_epochs and not stopped:
-        if epoch < warmup_epochs:
-            h = 1
-            lr = base_lr * (epoch + 1) / warmup_epochs
-        else:
-            h = min(pipeline, num_epochs - epoch,
-                    early_stopping.safe_horizon())
-            if scheduler is not None:
-                # duck-typed schedulers (only .step()) pipeline at depth
-                # 1 — their event timing is unknowable ahead of the
-                # metrics
-                h = min(h, getattr(scheduler, "safe_horizon", lambda: 1)())
-        window = []
-        window_lrs = []
-        for i in range(h):
-            if schedule == "cosine" and epoch + i >= warmup_epochs:
-                lr = _cos_lr(epoch + i)
-            window_lrs.append(lr)
-            shuffle_key, sk = jax.random.split(shuffle_key)
-            state, tt, vt = engine.run_train_and_eval_epoch_async(
-                state, train_loader, val_loader, lr, sk)
-            if ema_params is not None:
-                # async tree op on the dispatch queue; the early-stop
-                # horizon bound guarantees every dispatched epoch executes,
-                # so EMA over dispatched == EMA over executed epochs
-                ema_params = _ema_update(ema_params, state.params,
-                                         ema_decay_arr)
-            # retain only what the controllers need (params/batch_stats
-            # for best-weight snapshots, the metric totals): holding each
-            # in-flight epoch's full TrainState would pin h Adam moment
-            # sets for no reader
-            window.append((state.params, state.batch_stats, tt, vt))
-        # ONE host↔device sync for the whole window
-        fetched = jax.device_get([(tt, vt) for _, _, tt, vt in window])
-        for wlr, (wparams, wstats, _, _), (tvals, vvals) in zip(
-                window_lrs, window, fetched):
-            train_metrics = dict(zip(
-                METRIC_KEYS, map(float, np.asarray(tvals) / train_loader.n)))
-            val_metrics = dict(zip(
-                METRIC_KEYS, map(float, np.asarray(vvals) / val_loader.n)))
-            train_metrics_history.append(train_metrics)
-            val_metrics_history.append(val_metrics)
+        shuffle_key = jax.random.key(seed + 1)
+        train_metrics: Dict = {}
+        val_metrics: Dict = {}
+        epoch = 0
+        stopped = False
+        while epoch < num_epochs and not stopped:
+            if epoch < warmup_epochs:
+                h = 1
+                lr = base_lr * (epoch + 1) / warmup_epochs
+            else:
+                h = min(pipeline, num_epochs - epoch,
+                        early_stopping.safe_horizon())
+                if scheduler is not None:
+                    # duck-typed schedulers (only .step()) pipeline at depth
+                    # 1 — their event timing is unknowable ahead of the
+                    # metrics
+                    h = min(h, getattr(scheduler, "safe_horizon", lambda: 1)())
+            window = []
+            window_lrs = []
+            for i in range(h):
+                if schedule == "cosine" and epoch + i >= warmup_epochs:
+                    lr = _cos_lr(epoch + i)
+                window_lrs.append(lr)
+                shuffle_key, sk = jax.random.split(shuffle_key)
+                state, tt, vt = engine.run_train_and_eval_epoch_async(
+                    state, train_loader, val_loader, lr, sk)
+                if ema_params is not None:
+                    # async tree op on the dispatch queue; the early-stop
+                    # horizon bound guarantees every dispatched epoch executes,
+                    # so EMA over dispatched == EMA over executed epochs
+                    ema_params = _ema_update(ema_params, state.params,
+                                             ema_decay_arr)
+                # retain only what the controllers need (params/batch_stats
+                # for best-weight snapshots, the metric totals): holding each
+                # in-flight epoch's full TrainState would pin h Adam moment
+                # sets for no reader
+                window.append((state.params, state.batch_stats, tt, vt))
+            # ONE host↔device sync for the whole window
+            fetched = jax.device_get([(tt, vt) for _, _, tt, vt in window])
+            for wlr, (wparams, wstats, _, _), (tvals, vvals) in zip(
+                    window_lrs, window, fetched):
+                train_metrics = dict(zip(
+                    METRIC_KEYS, map(float, np.asarray(tvals) / train_loader.n)))
+                val_metrics = dict(zip(
+                    METRIC_KEYS, map(float, np.asarray(vvals) / val_loader.n)))
+                train_metrics_history.append(train_metrics)
+                val_metrics_history.append(val_metrics)
 
-            if debug_nans and not (np.isfinite(train_metrics["loss"])
-                                   and np.isfinite(val_metrics["loss"])):
-                raise FloatingPointError(
-                    f"Non-finite loss at epoch {epoch+1}: "
-                    f"train={train_metrics['loss']}, "
-                    f"val={val_metrics['loss']}")
+                if debug_nans and not (np.isfinite(train_metrics["loss"])
+                                       and np.isfinite(val_metrics["loss"])):
+                    raise FloatingPointError(
+                        f"Non-finite loss at epoch {epoch+1}: "
+                        f"train={train_metrics['loss']}, "
+                        f"val={val_metrics['loss']}")
 
-            if scheduler is not None and epoch + 1 > warmup_epochs:
-                lr = scheduler.step(val_metrics["iou"])
-            # under cosine the history records the LR the epoch actually
-            # ran at; under plateau, the post-step LR (torch convention)
-            shown_lr = wlr if schedule == "cosine" else lr
-            lr_history.append(shown_lr)
+                if scheduler is not None and epoch + 1 > warmup_epochs:
+                    lr = scheduler.step(val_metrics["iou"])
+                # under cosine the history records the LR the epoch actually
+                # ran at; under plateau, the post-step LR (torch convention)
+                shown_lr = wlr if schedule == "cosine" else lr
+                lr_history.append(shown_lr)
 
-            if logger is not None:
-                logger.log({"epoch": epoch, "lr": shown_lr,
-                            **{f"train_{k}": v
-                               for k, v in train_metrics.items()},
-                            **{f"val_{k}": v
-                               for k, v in val_metrics.items()}},
-                           kind="epoch")
-            if tb is not None:
-                tb.add_scalars(
-                    {"lr": shown_lr,
-                     **{f"train/{k}": v for k, v in train_metrics.items()},
-                     **{f"val/{k}": v for k, v in val_metrics.items()}},
-                    step=epoch)
+                if logger is not None:
+                    logger.log({"epoch": epoch, "lr": shown_lr,
+                                **{f"train_{k}": v
+                                   for k, v in train_metrics.items()},
+                                **{f"val_{k}": v
+                                   for k, v in val_metrics.items()}},
+                               kind="epoch")
+                if tb is not None:
+                    tb.add_scalars(
+                        {"lr": shown_lr,
+                         **{f"train/{k}": v for k, v in train_metrics.items()},
+                         **{f"val/{k}": v for k, v in val_metrics.items()}},
+                        step=epoch)
 
-            if verbose:
-                print(f"Epoch {epoch+1:3d}/{num_epochs} - "
-                      f"Train Loss: {train_metrics['loss']:.4f}, "
-                      f"Train IoU: {train_metrics['iou']:.4f}, "
-                      f"Val Loss: {val_metrics['loss']:.4f}, "
-                      f"Val IoU: {val_metrics['iou']:.4f}, "
-                      f"LR: {shown_lr:.6f}")
-
-            if val_metrics["iou"] > best_iou:
-                best_iou = val_metrics["iou"]
-                best_state = (wparams, wstats)
-                best_epoch = epoch
-
-            epoch += 1
-            if early_stopping.step(val_metrics["iou"]):
                 if verbose:
-                    print(f"Early stopping triggered at epoch {epoch}")
-                stopped = True
-                # by the horizon bound this is the last window epoch, so
-                # `state` (the dispatch chain tail) already holds it; the
-                # replace is defensive for a mid-window stop
-                state = state.replace(params=wparams, batch_stats=wstats)
-                break
+                    print(f"Epoch {epoch+1:3d}/{num_epochs} - "
+                          f"Train Loss: {train_metrics['loss']:.4f}, "
+                          f"Train IoU: {train_metrics['iou']:.4f}, "
+                          f"Val Loss: {val_metrics['loss']:.4f}, "
+                          f"Val IoU: {val_metrics['iou']:.4f}, "
+                          f"LR: {shown_lr:.6f}")
 
-    time_elapsed = time.time() - start_time
-    if verbose:
-        print(f"Training complete in {time_elapsed // 60:.0f}m "
-              f"{time_elapsed % 60:.0f}s")
-        print(f"Best validation IoU: {best_iou:.4f} at epoch {best_epoch+1}")
+                if val_metrics["iou"] > best_iou:
+                    best_iou = val_metrics["iou"]
+                    best_state = (wparams, wstats)
+                    best_epoch = epoch
 
-    # EMA weights are evaluated BEFORE the best-weight restore: the
-    # average tracks the full trajectory and pairs with the FINAL running
-    # BN statistics, not the best epoch's snapshot.
-    ema_extra = {}
-    if ema_params is not None:
-        ema_state = state.replace(params=ema_params)
-        ema_val_metrics = engine.run_eval_epoch(ema_state, val_loader)
+                epoch += 1
+                if early_stopping.step(val_metrics["iou"]):
+                    if verbose:
+                        print(f"Early stopping triggered at epoch {epoch}")
+                    stopped = True
+                    # by the horizon bound this is the last window epoch, so
+                    # `state` (the dispatch chain tail) already holds it; the
+                    # replace is defensive for a mid-window stop
+                    state = state.replace(params=wparams, batch_stats=wstats)
+                    break
+
+        time_elapsed = time.time() - start_time
         if verbose:
-            print(f"EMA(decay={ema_decay}) validation IoU: "
-                  f"{ema_val_metrics['iou']:.4f}")
+            print(f"Training complete in {time_elapsed // 60:.0f}m "
+                  f"{time_elapsed % 60:.0f}s")
+            print(f"Best validation IoU: {best_iou:.4f} at epoch {best_epoch+1}")
+
+        # EMA weights are evaluated BEFORE the best-weight restore: the
+        # average tracks the full trajectory and pairs with the FINAL running
+        # BN statistics, not the best epoch's snapshot.
+        ema_extra = {}
+        if ema_params is not None:
+            ema_state = state.replace(params=ema_params)
+            ema_val_metrics = engine.run_eval_epoch(ema_state, val_loader)
+            if verbose:
+                print(f"EMA(decay={ema_decay}) validation IoU: "
+                      f"{ema_val_metrics['iou']:.4f}")
+            if tb is not None:
+                tb.add_scalars({f"ema_val/{k}": v
+                                for k, v in ema_val_metrics.items()},
+                               step=max(epoch - 1, 0))
+            ema_extra = {"ema_state": ema_state,
+                         "ema_val_metrics": ema_val_metrics}
+
+        if best_state is not None:
+            state = state.replace(params=best_state[0], batch_stats=best_state[1])
+
+        if save_plots and config.get("save_plots", False):
+            plot_training_history(train_metrics_history, val_metrics_history,
+                                  lr_history, config)
+
+    finally:
+        augmenter.cleanup()
+        if logger is not None:
+            logger.close()
         if tb is not None:
-            tb.add_scalars({f"ema_val/{k}": v
-                            for k, v in ema_val_metrics.items()},
-                           step=max(epoch - 1, 0))
-        ema_extra = {"ema_state": ema_state,
-                     "ema_val_metrics": ema_val_metrics}
-
-    if best_state is not None:
-        state = state.replace(params=best_state[0], batch_stats=best_state[1])
-
-    if save_plots and config.get("save_plots", False):
-        plot_training_history(train_metrics_history, val_metrics_history,
-                              lr_history, config)
-
-    augmenter.cleanup()
-    if logger is not None:
-        logger.close()
-    if tb is not None:
-        tb.close()
+            tb.close()
 
     return {
         **ema_extra,

@@ -149,3 +149,118 @@ def test_cpu_only_platforms_gate():
     assert not _cpu_only_platforms("tpu")
     assert not _cpu_only_platforms("")
     assert not _cpu_only_platforms(None)
+
+
+# ------------------------------------------------------- collectives (r5)
+# VERDICT r4 #1: the collective extractor feeding the DP scaling table
+# (tools/dp_scaling_profile.py) — pinned on a synthetic GSPMD-style
+# module, then on a REAL partitioned train step (8 virtual devices).
+
+SPMD_HLO = """\
+HloModule jit_dp_step
+
+%add (a: f32[], b: f32[]) -> f32[] {
+  %a = f32[] parameter(0)
+  %b = f32[] parameter(1)
+  ROOT %s = f32[] add(%a, %b)
+}
+
+%loop_body (arg: (f32[4,8], s32[])) -> (f32[4,8], s32[]) {
+  %arg = (f32[4,8]{1,0}, s32[]) parameter(0)
+  %x = f32[4,8]{1,0} get-tuple-element(%arg), index=0
+  %i = s32[] get-tuple-element(%arg), index=1
+  %cp = f32[4,8]{1,0} collective-permute(%x), source_target_pairs={{0,1},{1,0}}
+  ROOT %o = (f32[4,8]{1,0}, s32[]) tuple(%cp, %i)
+}
+
+%loop_cond (arg: (f32[4,8], s32[])) -> pred[] {
+  %arg = (f32[4,8]{1,0}, s32[]) parameter(0)
+  ROOT %lt = pred[] constant(true)
+}
+
+ENTRY %main (g: f32[1000,100], x: f32[4,8], s: f32[16]) -> f32[1000,100] {
+  %g = f32[1000,100]{1,0} parameter(0)
+  %x = f32[4,8]{1,0} parameter(1)
+  %s = f32[16]{0} parameter(2)
+  %ar = f32[1000,100]{1,0} all-reduce(%g), replica_groups={{0,1,2,3,4,5,6,7}}, to_apply=%add, metadata={op_name="jit(step)/transpose(jvp(Model))/psum"}
+  %ags = f32[128]{0} all-gather-start(%s), replica_groups={{0,1,2,3,4,5,6,7}}, dimensions={0}
+  %agd = f32[128]{0} all-gather-done(%ags)
+  %t = (f32[4,8]{1,0}, s32[]) tuple(%x, %ar.clone)
+  %loop = (f32[4,8]{1,0}, s32[]) while(%t), condition=%loop_cond, body=%loop_body
+  ROOT %out = f32[1000,100]{1,0} add(%ar, %ar)
+}
+"""
+
+
+def test_extract_collectives_synthetic():
+    from segtpu.core.hlo_profile import (collective_summary,
+                                         extract_collectives)
+    colls = extract_collectives(SPMD_HLO)
+    by_op = {c["opcode"]: c for c in colls}
+    # all-reduce payload = INPUT bytes (1000*100*4)
+    assert by_op["all-reduce"]["payload_bytes"] == 1000 * 100 * 4
+    assert by_op["all-reduce"]["replica_groups"] == "{{0,1,2,3,4,5,6,7}}"
+    assert "transpose(jvp" in by_op["all-reduce"]["op_name"]
+    # all-gather payload = OUTPUT bytes (gathered array), start form folded
+    assert by_op["all-gather"]["payload_bytes"] == 128 * 4
+    assert by_op["all-gather"]["async"]
+    # the -done half is not double counted
+    assert sum(1 for c in colls if c["opcode"] == "all-gather") == 1
+    # collective inside the while body is found and carries its computation
+    assert by_op["collective-permute"]["payload_bytes"] == 4 * 8 * 4
+    assert "loop_body" in by_op["collective-permute"]["computation"]
+    s = collective_summary(SPMD_HLO)
+    assert s["count"] == 3
+    assert s["per_op"]["all-reduce"]["payload_bytes"] == 400000
+
+
+def test_ring_allreduce_model():
+    from segtpu.core.hlo_profile import (predict_dp_scaling,
+                                         ring_allreduce_time)
+    # 90 MB over 8 chips at 90 GB/s bidirectional: 2*V*(7/8)/W
+    v, w = 90e6, 90e9
+    t = ring_allreduce_time(v, 8, w)
+    assert abs(t - 2 * v * 7 / 8 / w) < 1e-12
+    assert ring_allreduce_time(v, 1, w) == 0.0
+    rows = predict_dp_scaling(v, 0.276, (2, 8))
+    assert [r["n"] for r in rows] == [2, 8]
+    r8 = rows[1]
+    expect = 0.276 / (0.276 + t)
+    assert abs(r8["efficiency_1d"] - expect) < 1e-9
+    assert r8["efficiency_2d"] > r8["efficiency_1d"]
+    assert abs(r8["throughput_scale_1d"] - 8 * r8["efficiency_1d"]) < 1e-9
+
+
+def test_real_partitioned_step_collectives():
+    """Compile a tiny DP train step over the 8-virtual-device mesh and
+    assert GSPMD inserted a gradient all-reduce whose payload covers the
+    parameter tree (grads are param-shaped), plus BN sync traffic."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from segtpu.core.hlo_profile import extract_collectives
+    from segtpu.train.engine import get_engine
+
+    engine = get_engine({"backbone": "resnet_tiny", "use_attention": False,
+                         "loss_fn": "combo"})
+    state = engine.init_state(jax.random.key(0), (1, 32, 32, 1), 1e-3, 1e-5)
+    param_bytes = sum(x.size * x.dtype.itemsize
+                      for x in jax.tree.leaves(state.params))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    sh = NamedSharding(mesh, P("data", None, None, None))
+    imgs = jax.device_put(jnp.zeros((8, 32, 32, 1), jnp.float32), sh)
+    masks = jax.device_put(jnp.zeros((8, 32, 32, 1), jnp.float32), sh)
+    hlo = jax.jit(engine._train_step_impl).lower(
+        state, imgs, masks).compile().as_text()
+    colls = extract_collectives(hlo)
+    assert colls, "no collectives in the partitioned step"
+    ar = [c for c in colls if c["opcode"] == "all-reduce"]
+    assert ar, "no all-reduce in the partitioned step"
+    total_ar = sum(c["payload_bytes"] for c in ar)
+    # gradient psum moves (at least) one param-tree worth of bytes; XLA
+    # may additionally sync BN stats / the scalar loss and may combine or
+    # split all-reduces, so pin a covering lower bound and a sane upper
+    assert total_ar >= param_bytes, (total_ar, param_bytes)
+    assert total_ar <= 4 * param_bytes + (1 << 20), (total_ar, param_bytes)

@@ -181,3 +181,36 @@ def test_two_process_distributed_matches_single_process():
         (float(m1["loss"]), loss_mp)
     assert abs(float(m2["loss"]) - loss2_mp) < 1e-4, \
         (float(m2["loss"]), loss2_mp)
+
+
+@pytest.mark.parametrize("backbone", ["resnet50", "densenet121"])
+def test_all_backbones_shard_lower(backbone):
+    """VERDICT r4 #6: the heavy backbones (densenet121's concat-heavy
+    encoder is the GSPMD-surprise candidate) must LOWER under the
+    8-device mesh with DP shardings — trace-only, no XLA compile, so this
+    stays cheap on the 1-core host. resnet34 is covered by the full
+    numeric tests above."""
+    engine = get_engine({"backbone": backbone, "use_attention": True,
+                         "loss_fn": "combo"})
+    # eval_shape-style init: structure without compiling the init program
+    shapes = jax.eval_shape(
+        lambda k: engine.model.init(k, jnp.zeros((1, 64, 64, 1)),
+                                    train=False),
+        jax.random.key(0))
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                          shapes["params"])
+    stats = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                         shapes.get("batch_stats", {}))
+    state = engine.state_from(params, stats, 1e-3, 1e-5)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    sh = NamedSharding(mesh, P("data", None, None, None))
+    imgs = jax.device_put(jnp.zeros((8, 64, 64, 1), jnp.float32), sh)
+    masks = jax.device_put(jnp.zeros((8, 64, 64, 1), jnp.float32), sh)
+
+    lowered = jax.jit(engine._train_step_impl).lower(state, imgs, masks)
+    txt = lowered.as_text()
+    # the module really is mesh-partitioned: inputs carry the DP sharding
+    assert "num_partitions = 8" in txt or "sharding" in txt
+    assert '"{devices=[8' in txt or "devices=[8" in txt

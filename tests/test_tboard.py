@@ -58,15 +58,51 @@ def test_closed_writer_raises(tmp_path):
         tb.add_scalar("x", 1.0, 0)
 
 
-def test_corruption_detected(tmp_path):
+def test_corruption_detected_in_non_tail_record(tmp_path):
     with TBWriter(str(tmp_path)) as tb:
         tb.add_scalar("a", 1.0, 0)
+        tb.add_scalar("b", 2.0, 1)
         path = tb.path
     blob = bytearray(open(path, "rb").read())
-    blob[-6] ^= 0xFF  # flip a byte inside the last record's payload
+    # flip a byte inside the FIRST record's payload (the file_version
+    # event, offset 12 is its first data byte) — mid-file corruption must
+    # still be a hard error, not silently skipped
+    blob[12] ^= 0xFF
     open(path, "wb").write(bytes(blob))
     with pytest.raises(ValueError, match="crc"):
         list(read_scalar_events(path))
+
+
+def test_torn_tail_truncation_yields_prefix(tmp_path):
+    """A process killed mid-write leaves a partial final record; every
+    COMPLETE earlier event must stay readable (writer's crash-visible
+    contract), with a warning instead of a hard error."""
+    with TBWriter(str(tmp_path)) as tb:
+        tb.add_scalar("a", 1.0, 0)
+        tb.add_scalar("b", 2.0, 1)
+        path = tb.path
+    blob = open(path, "rb").read()
+    open(path, "wb").write(blob[:-5])  # cut into the last record
+    with pytest.warns(RuntimeWarning, match="torn tail"):
+        events = list(read_scalar_events(path))
+    assert len(events) == 1
+    assert events[0][2] == {"a": 1.0}
+
+
+def test_torn_tail_crc_failure_yields_prefix(tmp_path):
+    """A complete-looking final record with a failing CRC (torn write of
+    the trailing CRC field) also terminates iteration after the prefix."""
+    with TBWriter(str(tmp_path)) as tb:
+        tb.add_scalar("a", 1.0, 0)
+        tb.add_scalar("b", 2.0, 1)
+        path = tb.path
+    blob = bytearray(open(path, "rb").read())
+    blob[-6] ^= 0xFF  # flip a byte inside the LAST record's payload
+    open(path, "wb").write(bytes(blob))
+    with pytest.warns(RuntimeWarning, match="torn tail"):
+        events = list(read_scalar_events(path))
+    assert len(events) == 1
+    assert events[0][2] == {"a": 1.0}
 
 
 @pytest.mark.skipif(not HAVE_TB, reason="tensorboard not importable")
