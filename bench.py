@@ -82,12 +82,18 @@ def measure_tpu_throughput():
 
     run(WARMUP)  # compile + warm
     n1, n2 = ITERS, ITERS * 3
-    best = None
+    fits = []
     for _ in range(3):
         t1 = min(run(n1), run(n1))
         t2 = min(run(n2), run(n2))
-        t_batch = max((t2 - t1) / (n2 - n1), 1e-9)
-        best = t_batch if best is None else min(best, t_batch)
+        fits.append(max((t2 - t1) / (n2 - n1), 1e-9))
+    best = min(fits)
+    # VERDICT r4 #4: a single best-fit point cannot distinguish relay
+    # timing noise from a real regression — report the median and spread
+    # of the three independent two-point fits alongside it.
+    fits_ips = sorted(BATCH / t for t in fits)
+    median_ips = fits_ips[1]
+    spread_pct = 100.0 * (fits_ips[-1] - fits_ips[0]) / median_ips
 
     # MFU: XLA's own FLOP count for the compiled program / bf16 peak
     # (v5e nominal 197 TFLOP/s; the honest utilization metric VERDICT asked
@@ -103,7 +109,9 @@ def measure_tpu_throughput():
             mfu = (flops / best) / peak
     except Exception as e:
         print(f"cost analysis unavailable: {e}", file=sys.stderr)
-    return BATCH / best, mfu
+    return BATCH / best, mfu, {"median_ips": median_ips,
+                               "spread_pct": spread_pct,
+                               "fits_ips": fits_ips}
 
 
 def get_cpu_baseline() -> float:
@@ -203,7 +211,7 @@ def main():
     watchdog.daemon = True
     watchdog.start()
 
-    value, mfu = measure_tpu_throughput()
+    value, mfu, stats = measure_tpu_throughput()
     try:
         baseline = get_cpu_baseline()
     except Exception as e:  # torch missing/failed — report absolute only
@@ -216,6 +224,11 @@ def main():
         "value": round(value, 2),
         "unit": "images/sec",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        # run-to-run variance of the three independent two-point fits:
+        # lets a future round tell noise from regression (VERDICT r4 #4)
+        "median": round(stats["median_ips"], 2),
+        "spread_pct": round(stats["spread_pct"], 2),
+        "fits": [round(v, 2) for v in stats["fits_ips"]],
     }
     if mfu is not None:
         out["mfu"] = round(mfu, 4)

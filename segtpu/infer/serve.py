@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import io
 import json
+import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional, Tuple
 
@@ -31,15 +32,29 @@ import numpy as np
 
 from segtpu.infer.export import ServingModel
 
-_MAX_BODY = 1 << 30  # 1 GiB request cap
+_MAX_BODY = 256 << 20  # default request cap: 256 MiB (~1000 512² floats)
 
 
 def make_server(artifact_dir: str, host: str = "127.0.0.1",
-                port: int = 0) -> ThreadingHTTPServer:
+                port: int = 0, max_body_bytes: int = _MAX_BODY,
+                single_flight: bool = True) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``port=0`` picks a free
     port (``server.server_address[1]``). Call ``serve_forever()`` or
-    drive it from a thread in tests."""
+    drive it from a thread in tests.
+
+    ``max_body_bytes``: requests larger than this are rejected with 413
+    before the body is read — an unbounded cap lets one client OOM the
+    host by streaming an arbitrary Content-Length.
+
+    ``single_flight``: serialize device execution across handler threads
+    (default). ThreadingHTTPServer accepts requests concurrently, but
+    there is ONE accelerator — concurrent dispatches just interleave on
+    its queue while each holds its host-side buffers alive, raising peak
+    memory for zero throughput. The lock bounds host memory to one
+    request's working set; HTTP accept/read/write still overlap. See
+    docs/DEPLOYMENT.md."""
     model = ServingModel(artifact_dir)
+    infer_lock = threading.Lock() if single_flight else None
 
     class Handler(BaseHTTPRequestHandler):
         # quiet by default; tooling can override
@@ -72,7 +87,19 @@ def make_server(artifact_dir: str, host: str = "127.0.0.1",
             # as 5xx, not as unretryable client errors.
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                if not 0 < n <= _MAX_BODY:
+            except (TypeError, ValueError):
+                self._send_json(400, {"error": "bad Content-Length"})
+                return
+            if n > max_body_bytes:
+                # reject BEFORE reading the body: the size guard is
+                # pointless if the oversized payload is already in memory
+                self._send_json(413, {
+                    "error": f"payload {n} bytes exceeds the server cap "
+                             f"{max_body_bytes} (split the batch, or start "
+                             f"the server with a larger max_body_bytes)"})
+                return
+            try:
+                if n <= 0:
                     raise ValueError(f"bad Content-Length {n}")
                 arr = np.load(io.BytesIO(self.rfile.read(n)),
                               allow_pickle=False)
@@ -81,7 +108,11 @@ def make_server(artifact_dir: str, host: str = "127.0.0.1",
                 self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
                 return
             try:
-                if threshold is None:
+                if infer_lock is not None:
+                    with infer_lock:
+                        out = (model.predict_proba(arr) if threshold is None
+                               else model.predict(arr, threshold=threshold))
+                elif threshold is None:
                     out = model.predict_proba(arr)
                 else:
                     out = model.predict(arr, threshold=threshold)

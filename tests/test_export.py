@@ -193,3 +193,75 @@ def test_segmenter_export_roundtrip(tmp_path):
     x = np.random.default_rng(1).random((4, SIZE, SIZE, 1), np.float32)
     np.testing.assert_allclose(
         sm.predict_proba(x), np.asarray(seg.predict_proba(x)), atol=1e-6)
+
+
+def test_http_serving_concurrent_clients(small_model, tmp_path):
+    """VERDICT r4 #7: N threads POSTing simultaneously must all get the
+    correct answer (single-flight lock serializes device work; the HTTP
+    layer stays concurrent)."""
+    import threading
+    from segtpu.infer.serve import client_predict, make_server
+
+    model, params, batch_stats = small_model
+    path = save_serving(str(tmp_path / "art"), model, params, batch_stats,
+                        (SIZE, SIZE))
+    server = make_server(path)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{port}"
+        rng = np.random.default_rng(4)
+        inputs = [rng.random((2, SIZE, SIZE, 1), np.float32)
+                  for _ in range(8)]
+        sm = ServingModel(path)
+        wants = [sm.predict_proba(x) for x in inputs]
+        results = [None] * len(inputs)
+        errs = []
+
+        def worker(i):
+            try:
+                results[i] = client_predict(url, inputs[i], timeout=120)
+            except Exception as e:  # pragma: no cover - fail loudly below
+                errs.append((i, e))
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(len(inputs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(180)
+        assert not errs, errs
+        for got, want in zip(results, wants):
+            np.testing.assert_allclose(got, want, atol=1e-6)
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_http_serving_payload_cap(small_model, tmp_path):
+    """Oversized Content-Length is rejected with 413 BEFORE the body is
+    read; normal requests still work on the same server."""
+    from urllib.error import HTTPError
+    from segtpu.infer.serve import client_predict, make_server
+    import threading
+
+    model, params, batch_stats = small_model
+    path = save_serving(str(tmp_path / "art"), model, params, batch_stats,
+                        (SIZE, SIZE))
+    cap = 2 * SIZE * SIZE * 4 + 1024  # fits a 2-image batch, not a 4-image
+    server = make_server(path, max_body_bytes=cap)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{port}"
+        x_ok = np.zeros((2, SIZE, SIZE, 1), np.float32)
+        assert client_predict(url, x_ok).shape == (2, SIZE, SIZE, 1)
+        with pytest.raises(HTTPError) as ei:
+            client_predict(url, np.zeros((4, SIZE, SIZE, 1), np.float32))
+        assert ei.value.code == 413
+        assert "max_body_bytes" in ei.value.read().decode()
+        # server still alive after the rejection
+        assert client_predict(url, x_ok).shape == (2, SIZE, SIZE, 1)
+    finally:
+        server.shutdown()
+        server.server_close()
