@@ -162,13 +162,17 @@ class Segmenter:
         return (probs > threshold).astype(np.uint8)
 
     def predict_tiled(self, image, tile: int = 512, overlap: int = 64,
-                      batch_tiles: int = 8, tta: bool = False) -> np.ndarray:
-        """Large-image sliding-window inference with overlap blending.
-        ``tta=True`` D4-symmetry-averages each tile (segtpu/infer/tta.py)."""
+                      batch_tiles: int = 8, tta: bool = False,
+                      mode: str = "blend") -> np.ndarray:
+        """Large-image sliding-window inference. ``mode="blend"``
+        (default) cosine-blends overlapping tiles; ``mode="halo"`` keeps
+        the center crop of halo-padded tiles — ~19% less compute, 318 vs
+        221 MPix/s measured (PERF.md round 5). ``tta=True``
+        D4-symmetry-averages each tile (segtpu/infer/tta.py)."""
         from segtpu.infer.tiled import tiled_predict
         return tiled_predict(self.engine.model, self._require_state(), image,
                              tile=tile, overlap=overlap,
-                             batch_tiles=batch_tiles, tta=tta)
+                             batch_tiles=batch_tiles, tta=tta, mode=mode)
 
     # ---------------------------------------------------------- evaluate
 

@@ -146,7 +146,9 @@ def train_folds_parallel(
                  and getattr(engine.model, "n_classes", 1) == 1
                  and config.get("loss_fn", "combo") in BCE_FAMILY_LOSSES)
     per_fold = []
-    ckpt = config.get("encoder_checkpoint")
+    from segtpu.models.torch_convert import resolve_encoder_checkpoint
+    ckpt = resolve_encoder_checkpoint(config.get("encoder_checkpoint"),
+                                      engine.model.backbone)
     for k in range(K):
         if ckpt:
             # pretrained encoder overlay per fold (decoder stays each

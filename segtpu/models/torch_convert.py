@@ -229,6 +229,18 @@ def merge_encoder(params: Dict, batch_stats: Dict, enc_params: Dict,
     return overlay(params, enc_params), overlay(batch_stats, enc_stats)
 
 
+def resolve_encoder_checkpoint(ckpt, backbone: str):
+    """``config["encoder_checkpoint"]`` is either one path (used whatever
+    the backbone) or a ``{backbone: path}`` mapping for multi-backbone
+    experiment grids (the BASELINE.md model-configuration protocol trains
+    resnet34 AND resnet50 configs, each needing its own torchvision
+    checkpoint). A mapping with no entry for this backbone resolves to
+    None → fresh init for that config."""
+    if isinstance(ckpt, dict):
+        return ckpt.get(backbone)
+    return ckpt
+
+
 def load_pretrained(model, rng, input_shape, checkpoint_path: str,
                     kind: str = "torchvision") -> Tuple[Dict, Dict]:
     """Initialize a model and overlay pretrained weights from a local torch

@@ -145,6 +145,14 @@ def _auto_final_bias(engine: TrainEngine, state: TrainState, config: Dict,
     return state.replace(params=params)
 
 
+def _resolve_ckpt(config: Dict, engine: TrainEngine):
+    """Encoder checkpoint for THIS engine's backbone (path, mapping entry,
+    or None)."""
+    from segtpu.models.torch_convert import resolve_encoder_checkpoint
+    return resolve_encoder_checkpoint(config.get("encoder_checkpoint"),
+                                      engine.model.backbone)
+
+
 def train_model(model=None, train_images: ArraysOrPaths = (),
                 train_masks: ArraysOrPaths = (),
                 val_images: ArraysOrPaths = (),
@@ -224,16 +232,17 @@ def train_model(model=None, train_images: ArraysOrPaths = (),
         opt_state.hyperparams["weight_decay"] = jnp.asarray(
             wd, jnp.float32)
         state = initial_state.replace(opt_state=opt_state)
-    elif config.get("encoder_checkpoint"):
+    elif _resolve_ckpt(config, engine):
         # pretrained=True with a user-supplied local torchvision
         # checkpoint (advanced_models.py:72-78 behavior): seed-derived
         # fresh init, then the converted encoder overlaid. Flows through
         # CrossValidator/ModelComparator/experiments as a plain config
-        # key — see tools/validate_reference_parity.py.
+        # key (a {backbone: path} mapping for multi-backbone grids) —
+        # see tools/validate_reference_parity.py.
         from segtpu.models.torch_convert import load_pretrained
         params, stats = load_pretrained(
             engine.model, jax.random.key(seed), (1, *img_size, 1),
-            config["encoder_checkpoint"],
+            _resolve_ckpt(config, engine),
             kind=config.get("checkpoint_kind", "torchvision"))
         state = engine.state_from(params, stats, lr, wd)
     else:

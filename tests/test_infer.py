@@ -85,6 +85,64 @@ def test_tiled_with_real_model():
     assert probs.min() >= 0.0 and probs.max() <= 1.0
 
 
+def test_tiled_halo_identity_exact():
+    """Halo mode, apply_fn = 2x identity: exact everywhere, including
+    non-tile-multiple sizes (grid pads right/bottom, crops back)."""
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.normal(size=(100, 88, 1)).astype(np.float32))
+    pred = make_tiled_predictor(lambda x: x * 2.0, tile=32, overlap=16,
+                                batch_tiles=4, mode="halo")
+    out = np.asarray(pred(img))
+    assert out.shape == (100, 88, 1)
+    np.testing.assert_allclose(out, np.asarray(img) * 2.0, atol=1e-5)
+
+
+def test_tiled_halo_matches_dense_for_small_receptive_field():
+    """A 2-layer 3×3 conv stack has receptive radius 2 ≤ halo 4, so halo
+    tiling must reproduce the dense forward EXACTLY on every pixel ≥2
+    from the image border (border pixels differ only by pad policy:
+    dense SAME zero-pads, the tiler reflect-pads)."""
+    rng = np.random.default_rng(4)
+    k1 = jnp.asarray(rng.normal(size=(3, 3, 1, 4), scale=0.5).astype(np.float32))
+    k2 = jnp.asarray(rng.normal(size=(3, 3, 4, 2), scale=0.5).astype(np.float32))
+
+    def apply_fn(x):
+        y = jax.lax.conv_general_dilated(
+            x, k1, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = jnp.tanh(y)
+        return jax.lax.conv_general_dilated(
+            y, k2, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    img = jnp.asarray(rng.normal(size=(96, 96, 1)).astype(np.float32))
+    dense = np.asarray(apply_fn(img[None]))[0]
+    pred = make_tiled_predictor(apply_fn, tile=32, overlap=8,
+                                batch_tiles=4, mode="halo")
+    out = np.asarray(pred(img))
+    assert out.shape == dense.shape
+    np.testing.assert_allclose(out[2:-2, 2:-2], dense[2:-2, 2:-2], atol=1e-5)
+
+
+def test_tiled_halo_predict_many_matches_single(rng):
+    from segtpu.infer.tiled import make_tiled_predictor_many
+    imgs = jnp.asarray(rng.normal(size=(3, 96, 96, 1)).astype(np.float32))
+
+    def f(x):
+        return jnp.tanh(x * 1.3 + 0.2)
+
+    single = make_tiled_predictor(f, tile=32, overlap=8, batch_tiles=4,
+                                  mode="halo")
+    many = make_tiled_predictor_many(f, tile=32, overlap=8, batch_tiles=4,
+                                     mode="halo")
+    ref = np.stack([np.asarray(single(im)) for im in imgs])
+    got = np.asarray(many(imgs))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_tiled_bad_mode_raises():
+    with pytest.raises(ValueError, match="mode"):
+        make_tiled_predictor(lambda x: x, mode="bogus")
+
+
 def test_tiled_small_image_pads_edge():
     """Images smaller than ~half the tile can't reflect-pad; the predictor
     must fall back to edge padding instead of raising (ADVICE r1)."""

@@ -76,3 +76,71 @@ def test_cli_entry_parses():
     from validate_reference_parity import main
     with pytest.raises(SystemExit):
         main(["--help"])
+
+
+@pytest.mark.parametrize("arch,probe_key,probe_shape", [
+    ("resnet50", "layer1.0.downsample.0.weight", (256, 64, 1, 1)),
+    ("densenet121", "features.denseblock4.denselayer16.conv2.weight",
+     (32, 128, 3, 3)),
+])
+def test_fake_checkpoint_other_archs_convert(tmp_path, arch, probe_key,
+                                             probe_shape):
+    """VERDICT r4 #8: resnet50/densenet121 fake checkpoints are real
+    torchvision layouts AND flow through load_pretrained into a model of
+    that backbone."""
+    import jax
+    import torch
+    from segtpu.models.torch_convert import load_pretrained
+    from segtpu.train.engine import get_engine
+    from validate_reference_parity import make_fake_torchvision_checkpoint
+
+    p = make_fake_torchvision_checkpoint(
+        str(tmp_path / f"{arch}_fake.pth"), seed=1, arch=arch)
+    sd = torch.load(p, map_location="cpu", weights_only=True)
+    assert tuple(sd[probe_key].shape) == probe_shape
+
+    engine = get_engine({"backbone": arch, "use_attention": False,
+                         "loss_fn": "combo"})
+    params, stats = load_pretrained(engine.model, jax.random.key(0),
+                                    (1, 32, 32, 1), p)
+    fresh = engine.init_state(jax.random.key(0), (1, 32, 32, 1), 1e-3, 1e-5)
+    got = np.asarray(params["encoder"]["input_conv"]["kernel"])
+    ref = np.asarray(fresh.params["encoder"]["input_conv"]["kernel"])
+    assert got.shape == ref.shape and not np.allclose(got, ref)
+
+
+def test_encoder_checkpoint_mapping_resolves_per_backbone(fake_ckpt):
+    from segtpu.models.torch_convert import resolve_encoder_checkpoint
+    m = {"resnet34": fake_ckpt}
+    assert resolve_encoder_checkpoint(m, "resnet34") == fake_ckpt
+    assert resolve_encoder_checkpoint(m, "resnet50") is None
+    assert resolve_encoder_checkpoint(fake_ckpt, "resnet50") == fake_ckpt
+
+
+@pytest.mark.slow
+def test_quick_aug_amount_table(data_dir, fake_ckpt, tmp_path):
+    from validate_reference_parity import run_aug_amount
+    out = run_aug_amount(
+        data_dir, fake_ckpt, quick=True, save_root=str(tmp_path),
+        base_overrides={"img_size": (32, 32), "num_epochs": 1})
+    assert out["verdict"] == "plumbing-ok"
+    assert [r["row"] for r in out["rows"]] == [1, 4]
+    for r in out["rows"]:
+        assert np.isfinite(r["cv_iou"]) and np.isfinite(r["efficiency"])
+
+
+@pytest.mark.slow
+def test_quick_config_grid_table(data_dir, fake_ckpt, tmp_path):
+    """Multi-backbone grid: resnet34 rows use the checkpoint mapping,
+    resnet50 rows (no entry) fall back to fresh init — both complete."""
+    from validate_reference_parity import run_config_grid
+    out = run_config_grid(
+        data_dir, {"resnet34": fake_ckpt}, quick=True,
+        save_root=str(tmp_path),
+        base_overrides={"img_size": (32, 32), "num_epochs": 1})
+    assert out["verdict"] == "plumbing-ok"
+    names = {r["row"] for r in out["rows"]}
+    assert names == {"backbone_resnet34_att_False_bs_4",
+                     "backbone_resnet50_att_False_bs_4"}
+    for r in out["rows"]:
+        assert np.isfinite(r["cv_iou"])

@@ -80,6 +80,8 @@ def main(argv=None):
     mpix = S * S / 1e6
     redundancy = n_tiles * T * T / (S * S)
     halo = V // 2
+    if T % 32 == 0 and halo:  # same stride alignment as make_tiled_predictor
+        halo = -(-halo // 16) * 16
     n_halo = (-(-S // T)) ** 2
     red_halo = n_halo * (T + 2 * halo) ** 2 / (S * S)
     print(f"{S}² tile {T} overlap {V}: {n_tiles} tiles/img, "

@@ -52,18 +52,48 @@ BASELINE_LOSS_TABLE = {
     "Balanced BCE":            (0.7161, 0.0704, 0.8287, 0.6851, 0.7737),
 }
 
+# BASELINE.md augmentation-amount table (reference artifacts
+# experiments/augmentation_amount/augmentation_amount_results.pth, schema
+# augmentation_amount_experiment.py:90-100): amount → (cv_iou, cv_std,
+# cv_f1, efficiency=iou/(1+amount)).
+BASELINE_AUG_TABLE = {
+    1:  (0.8072, 0.0373, 0.8919, 0.4036),
+    4:  (0.8344, 0.0272, 0.9088, 0.1669),
+    9:  (0.8583, 0.0084, 0.9235, 0.0858),
+    20: (0.8628, 0.0140, 0.9261, 0.0411),
+    29: (0.8665, 0.0200, 0.9282, 0.0289),
+    45: (0.8702, 0.0147, 0.9304, 0.0189),
+    49: (0.8713, 0.0149, 0.9310, 0.0174),
+}
+
+# BASELINE.md model-configuration grid (reference artifacts
+# experiments/model_configuration/model_configuration_results.pth, schema
+# model_configuration_experiment.py:385): segtpu config name →
+# (cv_iou, cv_std, test_iou, test_f1).
+BASELINE_CONFIG_TABLE = {
+    "backbone_resnet34_att_True_bs_2":  (0.8344, 0.0460, 0.7990, 0.8830),
+    "backbone_resnet34_att_True_bs_4":  (0.8227, 0.0420, 0.8693, 0.9300),
+    "backbone_resnet34_att_False_bs_2": (0.8053, 0.0492, 0.8137, 0.8924),
+    "backbone_resnet34_att_False_bs_4": (0.8390, 0.0335, 0.8527, 0.9203),
+    "backbone_resnet50_att_True_bs_2":  (0.8137, 0.0459, 0.8435, 0.9119),
+    "backbone_resnet50_att_True_bs_4":  (0.8192, 0.0668, 0.8643, 0.9271),
+    "backbone_resnet50_att_False_bs_2": (0.7763, 0.0880, 0.8061, 0.8886),
+    "backbone_resnet50_att_False_bs_4": (0.8504, 0.0265, 0.8534, 0.9205),
+}
+
 # Parity tolerance on CV IoU mean: the reference's own 5-fold std is
 # 0.03-0.07 per loss; a different framework re-run of the same protocol
 # lands within one fold-std of the published mean when it reproduces it.
 PARITY_TOL = 0.05
 
 
-def make_fake_torchvision_checkpoint(path: str, seed: int = 0) -> str:
-    """Write a RANDOMLY initialized torchvision-resnet34-layout state_dict
-    (same names/shapes torchvision publishes; advanced_models.py:73-88
-    consumes these) so the full convert→overlay→train pipeline is
-    exercisable without network access. Not pretrained — numbers from it
-    validate plumbing, never accuracy."""
+def make_fake_torchvision_checkpoint(path: str, seed: int = 0,
+                                     arch: str = "resnet34") -> str:
+    """Write a RANDOMLY initialized torchvision-layout state_dict
+    (resnet34 / resnet50 / densenet121 — the three encoders the reference
+    builds from torchvision, advanced_models.py:73-155) so the full
+    convert→overlay→train pipeline is exercisable without network access.
+    Not pretrained — numbers from it validate plumbing, never accuracy."""
     import torch as T
 
     rng = np.random.default_rng(seed)
@@ -83,6 +113,30 @@ def make_fake_torchvision_checkpoint(path: str, seed: int = 0) -> str:
         sd[name + ".running_var"] = T.from_numpy(
             rng.uniform(0.5, 1.5, c).astype(np.float32))
 
+    if arch == "densenet121":
+        conv("features.conv0", 64, 3, 7)
+        bn("features.norm0", 64)
+        growth, c = 32, 64
+        for bi, n_layers in enumerate((6, 12, 24, 16)):
+            for li in range(n_layers):
+                p = f"features.denseblock{bi + 1}.denselayer{li + 1}"
+                cin = c + li * growth
+                bn(f"{p}.norm1", cin)
+                conv(f"{p}.conv1", 4 * growth, cin, 1)
+                bn(f"{p}.norm2", 4 * growth)
+                conv(f"{p}.conv2", growth, 4 * growth, 3)
+            c += n_layers * growth
+            if bi < 3:
+                bn(f"features.transition{bi + 1}.norm", c)
+                conv(f"features.transition{bi + 1}.conv", c // 2, c, 1)
+                c //= 2
+        bn("features.norm5", c)  # unused by the encoder; layout fidelity
+        T.save(sd, path)
+        return path
+
+    if arch not in ("resnet34", "resnet50"):
+        raise ValueError(f"unknown arch {arch!r}")
+    bottleneck = arch == "resnet50"
     conv("conv1", 64, 3, 7)
     bn("bn1", 64)
     widths, counts = (64, 128, 256, 512), (3, 4, 6, 3)
@@ -90,14 +144,26 @@ def make_fake_torchvision_checkpoint(path: str, seed: int = 0) -> str:
     for li, (w, n) in enumerate(zip(widths, counts)):
         for bi in range(n):
             p = f"layer{li + 1}.{bi}"
-            conv(f"{p}.conv1", w, cin if bi == 0 else w, 3)
-            bn(f"{p}.bn1", w)
-            conv(f"{p}.conv2", w, w, 3)
-            bn(f"{p}.bn2", w)
-            if bi == 0 and li > 0:
-                conv(f"{p}.downsample.0", w, cin, 1)
-                bn(f"{p}.downsample.1", w)
-        cin = w
+            if bottleneck:
+                c0 = cin if bi == 0 else 4 * w
+                conv(f"{p}.conv1", w, c0, 1)
+                bn(f"{p}.bn1", w)
+                conv(f"{p}.conv2", w, w, 3)
+                bn(f"{p}.bn2", w)
+                conv(f"{p}.conv3", 4 * w, w, 1)
+                bn(f"{p}.bn3", 4 * w)
+                if bi == 0:  # expansion: every layer's block 0 downsamples
+                    conv(f"{p}.downsample.0", 4 * w, c0, 1)
+                    bn(f"{p}.downsample.1", 4 * w)
+            else:
+                conv(f"{p}.conv1", w, cin if bi == 0 else w, 3)
+                bn(f"{p}.bn1", w)
+                conv(f"{p}.conv2", w, w, 3)
+                bn(f"{p}.bn2", w)
+                if bi == 0 and li > 0:
+                    conv(f"{p}.downsample.0", w, cin, 1)
+                    bn(f"{p}.downsample.1", w)
+        cin = 4 * w if bottleneck else w
     T.save(sd, path)
     return path
 
@@ -193,6 +259,162 @@ def run(data_dir: str, checkpoint: str, image_type: str = "W",
     return out
 
 
+def _print_and_verdict(rows, title: str, quick: bool, save_dir: str,
+                       cols) -> dict:
+    """Shared table printer + verdict + report writer for all three
+    BASELINE.md experiment tables. ``cols``: list of (header, fmt, key)."""
+    width = sum(w for _, w, _ in cols) + 26
+    print("\n" + "=" * width)
+    print(f"REFERENCE PARITY — {title} (tolerance ±{PARITY_TOL} CV IoU)")
+    print("=" * width)
+    print(f"{'row':<26}" + "".join(f"{h:>{w}}" for h, w, _ in cols))
+    print("-" * width)
+    for r in rows:
+        cells = []
+        for _, w, k in cols:
+            v = r.get(k)
+            if v is None:
+                cells.append(f"{'-':>{w}}")
+            elif isinstance(v, bool):
+                cells.append(f"{'YES' if v else 'no':>{w}}")
+            elif k.endswith("delta"):
+                cells.append(f"{v:>+{w}.4f}")
+            else:
+                cells.append(f"{v:>{w}.4f}")
+        print(f"{str(r['row']):<26}" + "".join(cells))
+    print("-" * width)
+    if quick:
+        verdict = "plumbing-ok"
+        print("VERDICT: plumbing-ok — quick mode ran the full pipeline; "
+              "absolute numbers are NOT meaningful on quick/synthetic "
+              "inputs.")
+    elif all(r["within_tol"] for r in rows):
+        verdict = "parity"
+        print(f"VERDICT: PARITY — every row within ±{PARITY_TOL} CV IoU "
+              "of BASELINE.md.")
+    else:
+        verdict = "divergent"
+        bad = [str(r["row"]) for r in rows if not r["within_tol"]]
+        print(f"VERDICT: DIVERGENT — outside tolerance: {', '.join(bad)}.")
+    report = os.path.join(save_dir, "parity_report.json")
+    with open(report, "w") as f:
+        json.dump({"table": title, "rows": rows, "verdict": verdict,
+                   "tolerance": PARITY_TOL}, f, indent=2)
+    print(f"Report: {report}")
+    return {"rows": rows, "verdict": verdict}
+
+
+def run_aug_amount(data_dir: str, checkpoint: str, image_type: str = "W",
+                   save_root: str = "experiments_artifacts",
+                   quick: bool = False, base_overrides=None) -> dict:
+    """BASELINE.md augmentation-amount table: the reference protocol
+    (resnet34, bce, bs=4, 128², 5-fold, seed 42;
+    augmentation_amount_experiment.py:352-416) at the published sample
+    points, compared row-by-row."""
+    from segtpu.experiments import augmentation_amount
+
+    overrides = {"encoder_checkpoint": checkpoint, "verbose": False}
+    overrides.update(base_overrides or {})
+    amounts = sorted(BASELINE_AUG_TABLE)
+    if quick:
+        amounts = [1, 4]
+        overrides.setdefault("num_epochs", 2)
+        overrides.setdefault("img_size", (64, 64))
+        overrides.setdefault("n_splits", 2)
+
+    results = augmentation_amount.main(
+        data_dir=data_dir, image_type=image_type,
+        augmentation_amounts=amounts, base_overrides=overrides,
+        save_root=save_root)
+
+    aug = results["augmentation_results"]
+    rows = []
+    for amount, (b_iou, b_std, b_f1, b_eff) in BASELINE_AUG_TABLE.items():
+        if amount not in aug:
+            continue
+        r = aug[amount]
+        rows.append({
+            "row": amount,
+            "cv_iou": r["mean_iou"], "cv_iou_baseline": b_iou,
+            "cv_iou_delta": r["mean_iou"] - b_iou,
+            "cv_std": r["std_iou"], "cv_std_baseline": b_std,
+            "cv_f1": r["mean_f1"], "cv_f1_baseline": b_f1,
+            "efficiency": r["efficiency_iou"], "efficiency_baseline": b_eff,
+            "within_tol": abs(r["mean_iou"] - b_iou) <= PARITY_TOL,
+        })
+    save_dirs = [os.path.join(save_root, d) for d in
+                 sorted(os.listdir(save_root)) if
+                 d.startswith("augmentation_amount_")]
+    out = _print_and_verdict(
+        rows, "augmentation-amount sweep vs BASELINE.md", quick,
+        save_dirs[-1] if save_dirs else save_root,
+        [("CV IoU", 9, "cv_iou"), ("ref", 9, "cv_iou_baseline"),
+         ("Δ", 9, "cv_iou_delta"), ("CV F1", 9, "cv_f1"),
+         ("ref", 7, "cv_f1_baseline"), ("eff", 8, "efficiency"),
+         ("ref", 8, "efficiency_baseline"), ("ok", 5, "within_tol")])
+    out["results"] = results
+    return out
+
+
+def run_config_grid(data_dir: str, checkpoints, image_type: str = "W",
+                    save_root: str = "experiments_artifacts",
+                    quick: bool = False, base_overrides=None) -> dict:
+    """BASELINE.md model-configuration grid: the reference protocol (bce,
+    aug=10/img, 128², test_size 0.3, seed 41, resnet34/50 × attention ×
+    bs 2/4; model_configuration_experiment.py:425-496) compared
+    row-by-row.
+
+    ``checkpoints``: {"resnet34": path, "resnet50": path} — each backbone
+    needs its own torchvision checkpoint (resolve_encoder_checkpoint)."""
+    from segtpu.experiments import model_configuration
+
+    overrides = {"encoder_checkpoint": checkpoints, "verbose": False}
+    overrides.update(base_overrides or {})
+    options = None
+    if quick:
+        overrides.setdefault("num_epochs", 2)
+        overrides.setdefault("img_size", (64, 64))
+        overrides.setdefault("n_splits", 2)
+        options = {"backbone": ["resnet34", "resnet50"],
+                   "use_attention": [False], "batch_size": [4]}
+
+    results = model_configuration.main(
+        data_dir=data_dir, image_type=image_type,
+        configuration_options=options, base_overrides=overrides,
+        save_root=save_root)
+
+    cv = results["cv_results"]["comparison_summary"]
+    gen = results["generalization_results"]
+    rows = []
+    for name, (b_iou, b_std, b_test_iou, b_test_f1) in \
+            BASELINE_CONFIG_TABLE.items():
+        if name not in cv:
+            continue
+        got = cv[name]["iou_mean"]
+        test = gen.get(name, {}).get("test_metrics", {})
+        rows.append({
+            "row": name,
+            "cv_iou": got, "cv_iou_baseline": b_iou,
+            "cv_iou_delta": got - b_iou,
+            "cv_std": cv[name]["iou_std"], "cv_std_baseline": b_std,
+            "test_iou": test.get("iou"), "test_iou_baseline": b_test_iou,
+            "test_f1": test.get("f1"), "test_f1_baseline": b_test_f1,
+            "within_tol": abs(got - b_iou) <= PARITY_TOL,
+        })
+    save_dirs = [os.path.join(save_root, d) for d in
+                 sorted(os.listdir(save_root)) if
+                 d.startswith("model_configuration_")]
+    out = _print_and_verdict(
+        rows, "model-configuration grid vs BASELINE.md", quick,
+        save_dirs[-1] if save_dirs else save_root,
+        [("CV IoU", 9, "cv_iou"), ("ref", 9, "cv_iou_baseline"),
+         ("Δ", 9, "cv_iou_delta"), ("Test IoU", 10, "test_iou"),
+         ("ref", 8, "test_iou_baseline"), ("Test F1", 9, "test_f1"),
+         ("ref", 7, "test_f1_baseline"), ("ok", 5, "within_tol")])
+    out["results"] = results
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--data-dir", required=True,
@@ -201,6 +423,13 @@ def main(argv=None):
     ap.add_argument("--checkpoint", required=True,
                     help="torchvision resnet34 state_dict .pth "
                          "(ImageNet-pretrained for real validation)")
+    ap.add_argument("--checkpoint-resnet50", default=None,
+                    help="torchvision resnet50 state_dict .pth (needed "
+                         "for the resnet50 rows of --experiment "
+                         "config_grid)")
+    ap.add_argument("--experiment", default="loss",
+                    choices=["loss", "aug_amount", "config_grid", "all"],
+                    help="which BASELINE.md table(s) to validate")
     ap.add_argument("--image-type", default="W", choices=["W", "B"])
     ap.add_argument("--n-splits", type=int, default=5)
     ap.add_argument("--test-size", type=float, default=0.2)
@@ -215,12 +444,32 @@ def main(argv=None):
                     help="train each config's folds in parallel "
                          "(segtpu/eval/fold_parallel.py)")
     args = ap.parse_args(argv)
-    out = run(args.data_dir, args.checkpoint, image_type=args.image_type,
-              n_splits=args.n_splits, test_size=args.test_size,
-              augmentations_per_image=args.aug, seed=args.seed,
-              save_root=args.save_root, quick=args.quick,
-              fold_parallel=args.fold_parallel)
-    return 0 if out["verdict"] in ("parity", "plumbing-ok") else 1
+
+    verdicts = []
+    which = (("loss", "aug_amount", "config_grid")
+             if args.experiment == "all" else (args.experiment,))
+    if "loss" in which:
+        out = run(args.data_dir, args.checkpoint,
+                  image_type=args.image_type, n_splits=args.n_splits,
+                  test_size=args.test_size,
+                  augmentations_per_image=args.aug, seed=args.seed,
+                  save_root=args.save_root, quick=args.quick,
+                  fold_parallel=args.fold_parallel)
+        verdicts.append(out["verdict"])
+    if "aug_amount" in which:
+        out = run_aug_amount(args.data_dir, args.checkpoint,
+                             image_type=args.image_type,
+                             save_root=args.save_root, quick=args.quick)
+        verdicts.append(out["verdict"])
+    if "config_grid" in which:
+        ckpts = {"resnet34": args.checkpoint}
+        if args.checkpoint_resnet50:
+            ckpts["resnet50"] = args.checkpoint_resnet50
+        out = run_config_grid(args.data_dir, ckpts,
+                              image_type=args.image_type,
+                              save_root=args.save_root, quick=args.quick)
+        verdicts.append(out["verdict"])
+    return 0 if all(v in ("parity", "plumbing-ok") for v in verdicts) else 1
 
 
 if __name__ == "__main__":
