@@ -36,18 +36,29 @@ _ARTIFACT = "model.stablehlo"
 _META = "meta.json"
 
 
+def output_activation_name(model) -> str:
+    """'sigmoid' for binary heads, 'softmax' for n_classes > 1 — recorded
+    in meta.json so ServingModel decodes masks the right way."""
+    return "softmax" if getattr(model, "n_classes", 1) > 1 else "sigmoid"
+
+
 def make_serving_fn(model, params, batch_stats, with_sigmoid: bool = True):
     """The inference graph served in production: model forward in eval mode
     (running BN stats, advanced_models.py:283-357 contract) plus the
-    sigmoid the reference applies at prediction time (utils.py:105-108).
-    Weights are closed over, so ``jax.export`` bakes them into the
-    artifact as constants."""
+    output activation the live API applies at prediction time — sigmoid
+    for binary heads (utils.py:105-108), channel softmax for multiclass
+    (``with_sigmoid`` keeps its historical name but means "apply the
+    model's output activation"; False exports raw logits, e.g. for tiled
+    composition). Weights are closed over, so ``jax.export`` bakes them
+    into the artifact as constants."""
+    from segtpu.infer.predict import output_activation
+    act = output_activation(model)
 
     def serve(x):
         logits = model.apply({"params": params, "batch_stats": batch_stats},
                              x, train=False)
         if with_sigmoid:
-            return jax.nn.sigmoid(logits.astype(jnp.float32))
+            return act(logits.astype(jnp.float32))
         return logits.astype(jnp.float32)
 
     return serve
@@ -90,14 +101,18 @@ def save_serving(path: str, model, params, batch_stats,
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, _ARTIFACT), "wb") as f:
         f.write(exp.serialize())
+    activation = output_activation_name(model)
     meta = {
         "format_version": FORMAT_VERSION,
         "img_size": list(img_size),
         "batch": batch,
         "dtype": jnp.dtype(dtype).name,
         "platforms": list(exp.platforms),
+        "activation": activation,
+        "n_classes": int(getattr(model, "n_classes", 1)),
         "input": "normalized float (N, H, W, 1), values in [0, 1]",
-        "output": "sigmoid probabilities (N, H, W, n_classes) float32",
+        "output": f"{activation} probabilities (N, H, W, n_classes) "
+                  f"float32",
     }
     with open(os.path.join(path, _META), "w") as f:
         json.dump(meta, f, indent=2)
@@ -126,10 +141,14 @@ class ServingModel:
             self._exported = jax_export.deserialize(f.read())
         self._call = jax.jit(self._exported.call)
         self.img_size = tuple(self.meta["img_size"])
+        # pre-"activation"-field artifacts (format 1 early) were all binary
+        self.activation = self.meta.get("activation", "sigmoid")
+        self.n_classes = int(self.meta.get("n_classes", 1))
 
     def predict_proba(self, images) -> np.ndarray:
         """(N, H, W[, 1]) normalized float images → (N, H, W, C) float32
-        sigmoid probabilities."""
+        probabilities (sigmoid, or channel softmax for multiclass
+        artifacts — ``meta["activation"]``)."""
         x = jnp.asarray(images)
         if x.ndim == 3:
             x = x[..., None]
@@ -145,8 +164,14 @@ class ServingModel:
         return np.asarray(self._call(x))
 
     def predict(self, images, threshold: float = 0.5) -> np.ndarray:
-        """Binary masks at the reference's 0.5 threshold (utils.py:108)."""
-        return (self.predict_proba(images) > threshold).astype(np.uint8)
+        """Binary artifacts: masks at the reference's 0.5 threshold
+        (utils.py:108). Multiclass artifacts: the softmax ARGMAX class
+        index per pixel, (N, H, W, 1) uint8 — ``threshold`` does not
+        apply (same contract as ``Segmenter.predict``)."""
+        probs = self.predict_proba(images)
+        if self.activation == "softmax":
+            return np.argmax(probs, axis=-1).astype(np.uint8)[..., None]
+        return (probs > threshold).astype(np.uint8)
 
 
 def load_serving(path: str) -> ServingModel:

@@ -195,6 +195,31 @@ def test_segmenter_export_roundtrip(tmp_path):
         sm.predict_proba(x), np.asarray(seg.predict_proba(x)), atol=1e-6)
 
 
+def test_multiclass_export_roundtrip(tmp_path):
+    """A softmax-trained (n_classes=3) model must export with the channel
+    softmax baked in: artifact probabilities sum to 1 over channels,
+    ServingModel.predict returns argmax class ids, and meta records the
+    activation (VERDICT r4 #5 closed through the AOT path too)."""
+    import jax
+    from segtpu.models import UNetWithBackbone, create_model_state
+
+    m = UNetWithBackbone(backbone="resnet_tiny", use_attention=False,
+                         n_classes=3)
+    params, bs = create_model_state(m, jax.random.key(0), (1, SIZE, SIZE, 1))
+    path = save_serving(str(tmp_path / "mc"), m, params, bs, (SIZE, SIZE))
+    sm = ServingModel(path)
+    assert sm.meta["activation"] == "softmax"
+    assert sm.meta["n_classes"] == 3
+    x = np.random.default_rng(7).random((2, SIZE, SIZE, 1), np.float32)
+    probs = sm.predict_proba(x)
+    assert probs.shape == (2, SIZE, SIZE, 3)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+    masks = sm.predict(x)
+    assert masks.shape == (2, SIZE, SIZE, 1) and masks.max() <= 2
+    np.testing.assert_array_equal(
+        masks[..., 0], np.argmax(probs, axis=-1).astype(np.uint8))
+
+
 def test_http_serving_concurrent_clients(small_model, tmp_path):
     """VERDICT r4 #7: N threads POSTing simultaneously must all get the
     correct answer (single-flight lock serializes device work; the HTTP
