@@ -128,16 +128,24 @@ class Segmenter:
         n = x.shape[0]
         if chunk is None or n <= chunk:
             return np.asarray(fn(x))
-        outs = []
+        # Dispatch every chunk asynchronously and fetch ONCE: through the
+        # relay each host fetch costs ~1 s RTT (CLAUDE.md), so a per-chunk
+        # np.asarray would turn N/chunk chunks into N/chunk round-trips.
+        # Per-dispatch working memory stays bounded by the chunk; only the
+        # outputs (the final result, which the caller materializes anyway)
+        # accumulate on device.
+        outs, pads = [], []
         for i in range(0, n, chunk):
             part = x[i:i + chunk]
             pad = chunk - part.shape[0]
             if pad:
                 part = jnp.concatenate(
                     [part, jnp.zeros((pad, *part.shape[1:]), part.dtype)])
-            o = np.asarray(fn(part))
-            outs.append(o[:chunk - pad] if pad else o)
-        return np.concatenate(outs)
+            outs.append(fn(part))
+            pads.append(pad)
+        outs = jax.device_get(outs)
+        return np.concatenate([np.asarray(o)[:chunk - p] if p else
+                               np.asarray(o) for o, p in zip(outs, pads)])
 
     def predict(self, images, threshold: float = 0.5,
                 post_process_min_size: Optional[int] = None,
@@ -159,7 +167,12 @@ class Segmenter:
                     "(utils.py:58-84); for multiclass, post-process the "
                     "argmax mask per class yourself")
             return np.argmax(probs, axis=-1).astype(np.uint8)[..., None]
-        return (probs > threshold).astype(np.uint8)
+        masks = (probs > threshold).astype(np.uint8)
+        if post_process_min_size is not None:
+            from segtpu.metrics import post_process
+            masks = np.stack([post_process(m[..., 0], post_process_min_size)
+                              for m in masks])[..., None]
+        return masks
 
     def predict_tiled(self, image, tile: int = 512, overlap: int = 64,
                       batch_tiles: int = 8, tta: bool = False,

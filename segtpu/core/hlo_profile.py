@@ -233,23 +233,7 @@ def profile_hlo(hlo_text: str, top_buffers: int = 20) -> dict:
     counting them quadruple-bills the module (observed 7.8 GB parsed vs
     XLA's 1.9 GB accessed on the CPU smoke before this split)."""
     comps, entry = _split_computations(hlo_text)
-    include = set()
-    frontier = [entry] if entry else list(comps)[-1:]
-    while frontier:
-        c = frontier.pop()
-        if c in include or c not in comps:
-            continue
-        include.add(c)
-        for ln in comps[c]:
-            p = parse_instruction(ln)
-            if p and p[2] in ("while", "call", "conditional"):
-                for cm in _CALLS_RE.finditer(p[4]):
-                    frontier.append(cm.group(1))
-                bm = _BRANCHES_RE.search(p[4])
-                if bm:
-                    frontier.extend(
-                        n.strip().lstrip("%")
-                        for n in bm.group(1).split(",") if n.strip())
+    include = _entry_reachable(comps, entry)
 
     out_bytes: dict = {}   # instr name → output bytes
     per_class = defaultdict(lambda: [0, 0])  # class → [count, bytes]
@@ -326,7 +310,8 @@ COLLECTIVE_OPS = frozenset({
 
 def _entry_reachable(comps: dict, entry):
     """Computation names reachable from ENTRY via while/call/conditional
-    (same traversal as profile_hlo: fusion bodies are internal)."""
+    (shared by profile_hlo and extract_collectives: fusion bodies are
+    internal)."""
     include = set()
     frontier = [entry] if entry else list(comps)[-1:]
     while frontier:

@@ -405,15 +405,19 @@ def cv_train_folds_parallel(canonical_imgs: np.ndarray,
         fold_ids_seq = list(fold_ids)
     groups: Dict[Tuple[int, int], List[int]] = {}
     prepared = []
+    n_classes = int(config.get("n_classes", 1))
     for k, (tr_idx, va_idx) in enumerate(cv_folds):
         seed = base_seed + 1000 * fold_ids_seq[k]
         ci, cm = (canonical_imgs[list(tr_idx)], canonical_masks[list(tr_idx)])
         if augmentations_per_image > 0:
-            aug = CellAugmenter(augmentations_per_image, seed=seed)
+            # n_classes > 1: label-safe augmentation (integer class labels
+            # survive nearest sampling) — same as train_model's front half
+            aug = CellAugmenter(augmentations_per_image, seed=seed,
+                                n_classes=n_classes)
             ci, cm = aug.augment_training_data(ci, cm)
-        tr = _materialize(ci, cm)
+        tr = _materialize(ci, cm, n_classes)
         va = _materialize(canonical_imgs[list(va_idx)],
-                          canonical_masks[list(va_idx)])
+                          canonical_masks[list(va_idx)], n_classes)
         prepared.append((tr[0], tr[1], va[0], va[1], seed))
         groups.setdefault((tr[0].shape[0], va[0].shape[0]), []).append(k)
 

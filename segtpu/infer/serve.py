@@ -91,8 +91,22 @@ def make_server(artifact_dir: str, host: str = "127.0.0.1",
                 self._send_json(400, {"error": "bad Content-Length"})
                 return
             if n > max_body_bytes:
-                # reject BEFORE reading the body: the size guard is
-                # pointless if the oversized payload is already in memory
+                # Reject WITHOUT buffering the payload: the size guard is
+                # pointless if the oversized body lands in memory. Drain
+                # (read-and-discard in small chunks) up to a bounded
+                # amount so a client mid-upload can still receive the 413
+                # instead of a connection reset; beyond the drain cap we
+                # close and the client may see a broken pipe (documented
+                # in docs/DEPLOYMENT.md).
+                drain_cap = 32 << 20
+                remaining = min(n, drain_cap)
+                while remaining > 0:
+                    got = self.rfile.read(min(remaining, 1 << 20))
+                    if not got:
+                        break
+                    remaining -= len(got)
+                if n > drain_cap:
+                    self.close_connection = True
                 self._send_json(413, {
                     "error": f"payload {n} bytes exceeds the server cap "
                              f"{max_body_bytes} (split the batch, or start "

@@ -84,6 +84,13 @@ def make_spatial_sharded_predictor(apply_fn: Callable, mesh: Mesh,
         if h % n:
             raise ValueError(
                 f"image rows {h} must divide evenly over {n} devices")
+        if halo > h // n:
+            # band[h_band - halo:] would silently clamp and the center
+            # crop would select the wrong rows — refuse instead.
+            raise ValueError(
+                f"halo {halo} exceeds the per-device band height "
+                f"{h // n} ({h} rows / {n} devices) — use fewer devices, "
+                f"a smaller halo, or a taller image")
         image = jax.lax.with_sharding_constraint(
             image, NamedSharding(mesh, P(axis, None, None)))
         return sharded(image)

@@ -41,6 +41,14 @@ def test_predict_with_post_processing(fitted):
     seg, data = fitted
     masks = seg.predict(data["image_paths"][:2], post_process_min_size=5)
     assert masks.shape == (2, 32, 32, 1)
+    # regression (round-5 review): the cleanup must actually be WIRED —
+    # a min_size larger than the whole image removes every component,
+    # while the plain prediction has foreground
+    plain = seg.predict(data["image_paths"][:2])
+    assert plain.sum() > 0
+    cleaned = seg.predict(data["image_paths"][:2],
+                          post_process_min_size=32 * 32 + 1)
+    assert cleaned.sum() == 0
 
 
 def test_predict_tta(fitted):

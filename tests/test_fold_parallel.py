@@ -185,6 +185,35 @@ def test_forward_selection_fold_parallel(tmp_path, monkeypatch):
     assert callable(pipeline)
 
 
+def test_cv_fold_parallel_preserves_multiclass_labels(monkeypatch):
+    """Regression (round-5 review): cv_train_folds_parallel must thread
+    n_classes into _materialize/CellAugmenter — integer class labels may
+    NOT silently binarize to {0,1}."""
+    import segtpu.eval.fold_parallel as fp
+
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 255, (6, 32, 32), np.uint8)
+    masks = np.zeros((6, 32, 32), np.uint8)
+    masks[:, 4:12, 4:12] = 1
+    masks[:, 18:28, 18:28] = 2  # the label that binarization destroys
+
+    captured = {}
+
+    def fake_train(arrays, config, engine=None, seeds=None, **kw):
+        captured["arrays"] = arrays
+        return [{"val_metrics": [{"iou": 0.0}]} for _ in arrays]
+
+    monkeypatch.setattr(fp, "train_folds_parallel", fake_train)
+    cfg = dict(CFG, n_classes=3, loss_fn="ce_multiclass", num_epochs=1)
+    fp.cv_train_folds_parallel(imgs, masks, [([0, 1, 2, 3], [4, 5])], cfg,
+                               augmentations_per_image=1)
+    tr_masks = np.asarray(captured["arrays"][0][1])
+    va_masks = np.asarray(captured["arrays"][0][3])
+    assert tr_masks.max() == 2.0, "train labels binarized"
+    assert va_masks.max() == 2.0, "val labels binarized"
+    assert set(np.unique(va_masks)) == {0.0, 1.0, 2.0}
+
+
 def test_cross_validator_fold_parallel(tmp_path):
     """CrossValidator(fold_parallel=True) end-to-end equals the sequential
     CrossValidator on the same synthetic dataset and folds."""

@@ -71,6 +71,14 @@ def test_uneven_rows_raises(mesh):
         pred(jnp.zeros((30, 8, 1)))
 
 
+def test_halo_exceeding_band_raises(mesh):
+    """halo > per-device band height would silently clamp the neighbor
+    slices and mis-crop (round-5 review) — must refuse instead."""
+    pred = make_spatial_sharded_predictor(lambda x: x, mesh, halo=32)
+    with pytest.raises(ValueError, match="band height"):
+        pred(jnp.zeros((128, 8, 1)))  # 16-row bands < halo 32
+
+
 def test_lowering_uses_neighbor_permute_not_allgather(mesh):
     """The comm pattern must be nearest-neighbor (collective-permute of
     halo rows), NOT an all-gather of the full image."""

@@ -48,6 +48,8 @@ def main(argv=None):
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--backbone", default="resnet34")
     ap.add_argument("--attention", action="store_true", default=True)
+    ap.add_argument("--no-attention", dest="attention",
+                    action="store_false")
     ap.add_argument("--accum", type=int, default=0,
                     help="also analyze the grad-accum step (A micro-batches)")
     ap.add_argument("--step-ms", type=float,
