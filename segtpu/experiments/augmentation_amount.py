@@ -282,3 +282,9 @@ def main(data_dir: str = "data/manual_labels", image_type: str = "W",
     experiment.plot_results(save_dir)
     print(f"\n{'='*60}\nAUGMENTATION AMOUNT EXPERIMENT COMPLETE!\n{'='*60}")
     return results
+
+
+if __name__ == "__main__":
+    # direct-script parity (README.md "or directly:
+    # python augmentation_amount_experiment.py")
+    main()

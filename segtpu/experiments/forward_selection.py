@@ -396,3 +396,9 @@ def run_augmentation_selection_experiment(
     print("\nOptimal augmentation pipeline created!")
     print(f"selected_augs = {results['selected_augmentations']}")
     return results, optimal_pipeline
+
+
+if __name__ == "__main__":
+    # direct-script parity (README.md "or directly:
+    # python forward_selection_integration.py")
+    run_augmentation_selection_experiment()

@@ -274,3 +274,10 @@ def main(data_dir: str = "manual_labels", image_type: str = "W",
     print(f"\nAll results saved to: {save_dir}")
     return {"cv_results": cv_results, "generalization_results": gen_results,
             "correlation": correlation, "save_dir": save_dir}
+
+
+if __name__ == "__main__":
+    # direct-script parity (README.md "or directly:
+    # python loss_function_cross_validation.py", its __main__ at
+    # loss_function_cross_validation.py end): run with defaults
+    main()

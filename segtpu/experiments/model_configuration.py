@@ -303,3 +303,9 @@ def main(data_dir: str = "manual_labels", image_type: str = "W",
     experiment.plot_results(save_dir)
     print(f"\n{'='*60}\nMODEL CONFIGURATION EXPERIMENT COMPLETE!\n{'='*60}")
     return results
+
+
+if __name__ == "__main__":
+    # direct-script parity (README.md "or directly:
+    # python model_configuration_experiment.py")
+    main()
