@@ -285,6 +285,6 @@ def main(data_dir: str = "data/manual_labels", image_type: str = "W",
 
 
 if __name__ == "__main__":
-    # direct-script parity (README.md "or directly:
-    # python augmentation_amount_experiment.py")
+    # `python -m segtpu.experiments.augmentation_amount` — the analog of
+    # the reference's `python augmentation_amount_experiment.py`
     main()

@@ -399,6 +399,6 @@ def run_augmentation_selection_experiment(
 
 
 if __name__ == "__main__":
-    # direct-script parity (README.md "or directly:
-    # python forward_selection_integration.py")
+    # `python -m segtpu.experiments.forward_selection` — the analog of
+    # the reference's `python forward_selection_integration.py`
     run_augmentation_selection_experiment()

@@ -277,7 +277,8 @@ def main(data_dir: str = "manual_labels", image_type: str = "W",
 
 
 if __name__ == "__main__":
-    # direct-script parity (README.md "or directly:
-    # python loss_function_cross_validation.py", its __main__ at
-    # loss_function_cross_validation.py end): run with defaults
+    # direct-run parity with the reference's standalone scripts
+    # (README.md "or directly: python loss_function_cross_validation.py"):
+    # here `python -m segtpu.experiments.loss_comparison` from the repo
+    # root runs the experiment with the same defaults.
     main()

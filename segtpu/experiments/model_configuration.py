@@ -306,6 +306,6 @@ def main(data_dir: str = "manual_labels", image_type: str = "W",
 
 
 if __name__ == "__main__":
-    # direct-script parity (README.md "or directly:
-    # python model_configuration_experiment.py")
+    # `python -m segtpu.experiments.model_configuration` — the analog of
+    # the reference's `python model_configuration_experiment.py`
     main()
