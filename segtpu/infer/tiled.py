@@ -221,7 +221,7 @@ def _make_halo_predictor(apply_fn: Callable, tile: int, halo: int,
             apply_fn, jax.ShapeDtypeStruct((bt, tin, tin, cin), image.dtype))
         cout = cout_probe.shape[-1]
 
-        def body(acc, orgs):
+        def forward_batch(orgs):
             def get_tile(o):
                 # origin o is in OUTPUT coords; the padded image is offset
                 # by halo, so the input window starts at o exactly.
@@ -238,7 +238,20 @@ def _make_halo_predictor(apply_fn: Callable, tile: int, halo: int,
                 from jax.sharding import PartitionSpec as P
                 out = jax.lax.with_sharding_constraint(
                     out, P(shard_tiles_axis, None, None, None))
-            crop = out[:, halo:halo + tile, halo:halo + tile, :]
+            return out[:, halo:halo + tile, halo:halo + tile, :]
+
+        if n_batches == 1 and n_pad == 0:
+            # All tiles fit one forward: the disjoint grid assembly is a
+            # pure transpose/reshape — no sequential dynamic-update scan
+            # at all (this is the common large-image case, e.g. 16 tiles
+            # at 2048²/512).
+            crop = forward_batch(origins_d[0])
+            out = crop.reshape(ny, nx, tile, tile, cout).transpose(
+                0, 2, 1, 3, 4).reshape(ph, pw, cout).astype(jnp.float32)
+            return out[:h, :w, :]
+
+        def body(acc, orgs):
+            crop = forward_batch(orgs)
 
             def put(acc, args):
                 o, lg = args
