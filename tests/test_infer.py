@@ -138,6 +138,23 @@ def test_tiled_halo_predict_many_matches_single(rng):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+def test_tiled_halo_reshape_path_matches_scan_path(rng):
+    """batch_tiles large enough for one forward takes the transpose/
+    reshape assembly; smaller batch_tiles takes the scatter scan — both
+    must agree exactly."""
+    img = jnp.asarray(rng.normal(size=(128, 96, 1)).astype(np.float32))
+
+    def f(x):
+        return jnp.tanh(x * 1.3 + 0.2)
+
+    one_shot = make_tiled_predictor(f, tile=32, overlap=8, batch_tiles=32,
+                                    mode="halo")   # 12 tiles, 1 batch
+    scanned = make_tiled_predictor(f, tile=32, overlap=8, batch_tiles=4,
+                                   mode="halo")    # 3 batches via scan
+    np.testing.assert_allclose(np.asarray(one_shot(img)),
+                               np.asarray(scanned(img)), atol=1e-6)
+
+
 def test_tiled_bad_mode_raises():
     with pytest.raises(ValueError, match="mode"):
         make_tiled_predictor(lambda x: x, mode="bogus")
