@@ -286,5 +286,19 @@ def main(data_dir: str = "data/manual_labels", image_type: str = "W",
 
 if __name__ == "__main__":
     # `python -m segtpu.experiments.augmentation_amount` — the analog of
-    # the reference's `python augmentation_amount_experiment.py`
-    main()
+    # the reference's `python augmentation_amount_experiment.py`. The
+    # reference is internally inconsistent about the data dir (this
+    # script's __main__ uses 'data/manual_labels',
+    # augmentation_amount_experiment.py:379, the loss sweep uses
+    # 'manual_labels'); fall back to the common location when the
+    # outlier path is absent.
+    import os
+    import sys
+    if len(sys.argv) > 1:
+        sys.exit("this entry runs the reference defaults and takes no "
+                 "flags; use `python -m segtpu.cli --experiment "
+                 "augmentation_amount ...` instead")
+    dd = "data/manual_labels"
+    if not os.path.isdir(dd) and os.path.isdir("manual_labels"):
+        dd = "manual_labels"
+    main(data_dir=dd)

@@ -401,4 +401,9 @@ def run_augmentation_selection_experiment(
 if __name__ == "__main__":
     # `python -m segtpu.experiments.forward_selection` — the analog of
     # the reference's `python forward_selection_integration.py`
+    import sys
+    if len(sys.argv) > 1:
+        sys.exit("this entry runs the reference defaults and takes no "
+                 "flags; use `python -m segtpu.cli --experiment "
+                 "augmentation_selection ...` instead")
     run_augmentation_selection_experiment()

@@ -279,6 +279,12 @@ def main(data_dir: str = "manual_labels", image_type: str = "W",
 if __name__ == "__main__":
     # direct-run parity with the reference's standalone scripts
     # (README.md "or directly: python loss_function_cross_validation.py"):
-    # here `python -m segtpu.experiments.loss_comparison` from the repo
-    # root runs the experiment with the same defaults.
+    # `python -m segtpu.experiments.loss_comparison` from the repo root
+    # runs the experiment with the reference defaults. Flags belong to
+    # the CLI launcher, not here.
+    import sys
+    if len(sys.argv) > 1:
+        sys.exit("this entry runs the reference defaults and takes no "
+                 "flags; use `python -m segtpu.cli --experiment "
+                 "loss_function ...` instead")
     main()

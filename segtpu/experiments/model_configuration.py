@@ -308,4 +308,9 @@ def main(data_dir: str = "manual_labels", image_type: str = "W",
 if __name__ == "__main__":
     # `python -m segtpu.experiments.model_configuration` — the analog of
     # the reference's `python model_configuration_experiment.py`
+    import sys
+    if len(sys.argv) > 1:
+        sys.exit("this entry runs the reference defaults and takes no "
+                 "flags; use `python -m segtpu.cli --experiment "
+                 "model_configuration ...` instead")
     main()

@@ -83,7 +83,10 @@ def make_tiled_predictor(apply_fn: Callable, tile: int = 512,
         redundancy ((tile+overlap)/tile)² (1.27× at the same config). Seam
         error is bounded by the model's effective receptive field beyond
         ``overlap/2`` pixels; exact vs dense for any model whose receptive
-        radius ≤ ``overlap/2`` (tests/test_infer.py).
+        radius ≤ ``overlap/2`` (tests/test_infer.py). With
+        ``batch_tiles ≥`` the tile count, output assembly is a scan-free
+        transpose/reshape (PERF.md round 5: 349/365 MPix/s stream-batched
+        at halo 32/16).
 
     ``shard_tiles_axis``: name of a mesh axis to shard each tile batch
     over — the "context parallelism" of images: with ``batch_tiles`` a
@@ -240,11 +243,13 @@ def _make_halo_predictor(apply_fn: Callable, tile: int, halo: int,
                     out, P(shard_tiles_axis, None, None, None))
             return out[:, halo:halo + tile, halo:halo + tile, :]
 
-        if n_batches == 1 and n_pad == 0:
+        if n_batches == 1:  # implies n_pad == 0 (bt == n)
             # All tiles fit one forward: the disjoint grid assembly is a
             # pure transpose/reshape — no sequential dynamic-update scan
-            # at all (this is the common large-image case, e.g. 16 tiles
-            # at 2048²/512).
+            # at all. Taken when ``batch_tiles ≥ ny·nx`` (e.g. the
+            # stream-batched default batch_tiles=32 with 16 tiles at
+            # 2048²/512; the single-image default of 8 takes the scan
+            # path below — raise batch_tiles to route here).
             crop = forward_batch(origins_d[0])
             out = crop.reshape(ny, nx, tile, tile, cout).transpose(
                 0, 2, 1, 3, 4).reshape(ph, pw, cout).astype(jnp.float32)

@@ -129,13 +129,16 @@ def test_tiled_halo_predict_many_matches_single(rng):
     def f(x):
         return jnp.tanh(x * 1.3 + 0.2)
 
-    single = make_tiled_predictor(f, tile=32, overlap=8, batch_tiles=4,
-                                  mode="halo")
-    many = make_tiled_predictor_many(f, tile=32, overlap=8, batch_tiles=4,
-                                     mode="halo")
-    ref = np.stack([np.asarray(single(im)) for im in imgs])
-    got = np.asarray(many(imgs))
-    np.testing.assert_allclose(got, ref, atol=1e-5)
+    # batch_tiles=4 → scatter-scan assembly; 32 → one-forward
+    # transpose/reshape fast path — both must survive predict_many's vmap
+    for bt in (4, 32):
+        single = make_tiled_predictor(f, tile=32, overlap=8,
+                                      batch_tiles=bt, mode="halo")
+        many = make_tiled_predictor_many(f, tile=32, overlap=8,
+                                         batch_tiles=bt, mode="halo")
+        ref = np.stack([np.asarray(single(im)) for im in imgs])
+        got = np.asarray(many(imgs))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
 def test_tiled_halo_reshape_path_matches_scan_path(rng):

@@ -126,16 +126,19 @@ def test_tiled_inference_sharded_over_mesh():
         got = np.asarray(sharded(img))
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
-    # halo mode under the mesh: same sharded-vs-unsharded parity
-    base_h = make_tiled_predictor(apply_fn, tile=32, overlap=8,
-                                  batch_tiles=8, mode="halo")
-    sharded_h = make_tiled_predictor(apply_fn, tile=32, overlap=8,
-                                     batch_tiles=8, mode="halo",
-                                     shard_tiles_axis="data")
-    ref_h = np.asarray(base_h(img))
-    with mesh:
-        got_h = np.asarray(sharded_h(img))
-    np.testing.assert_allclose(got_h, ref_h, atol=1e-5)
+    # halo mode under the mesh, BOTH assembly paths: batch_tiles=8 →
+    # 2 batches (scatter scan), batch_tiles=16 ≥ 9 tiles → one forward
+    # (transpose/reshape fast path) — each must match unsharded
+    for bt in (8, 16):
+        base_h = make_tiled_predictor(apply_fn, tile=32, overlap=8,
+                                      batch_tiles=bt, mode="halo")
+        sharded_h = make_tiled_predictor(apply_fn, tile=32, overlap=8,
+                                         batch_tiles=bt, mode="halo",
+                                         shard_tiles_axis="data")
+        ref_h = np.asarray(base_h(img))
+        with mesh:
+            got_h = np.asarray(sharded_h(img))
+        np.testing.assert_allclose(got_h, ref_h, atol=1e-5)
 
 
 @pytest.mark.slow
