@@ -147,6 +147,20 @@ def test_tiled_tta_multi_tile_shape_and_range(rng):
     assert got.min() >= 0.0 and got.max() <= 1.0
 
 
+def test_tiled_tta_halo_mode(rng):
+    """TTA composes with halo tiling: square haloed tiles get the full
+    D4 average before the center crop; output stays a calibrated
+    probability map."""
+    from segtpu.infer.tiled import tiled_predict
+
+    m, state = _tiny_state(jax.random.key(6), (1, 16, 16, 1))
+    img = rng.random((24, 28, 1)).astype(np.float32)
+    got = tiled_predict(m, state, img, tile=16, overlap=8, batch_tiles=4,
+                        tta=True, mode="halo")
+    assert got.shape == (24, 28, 1)
+    assert got.min() >= 0.0 and got.max() <= 1.0
+
+
 def test_tta_rejects_non_batch(rng):
     m, state = _tiny_state(jax.random.key(3), (1, 8, 8, 1))
     with pytest.raises(ValueError):
