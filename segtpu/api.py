@@ -175,13 +175,15 @@ class Segmenter:
         return masks
 
     def predict_tiled(self, image, tile: int = 512, overlap: int = 64,
-                      batch_tiles: int = 8, tta: bool = False,
+                      batch_tiles: Optional[int] = None, tta: bool = False,
                       mode: str = "blend") -> np.ndarray:
         """Large-image sliding-window inference. ``mode="blend"``
         (default) cosine-blends overlapping tiles; ``mode="halo"`` keeps
-        the center crop of halo-padded tiles — ~19% less compute, 318 vs
-        221 MPix/s measured (PERF.md round 5). ``tta=True``
-        D4-symmetry-averages each tile (segtpu/infer/tta.py)."""
+        the center crop of halo-padded tiles — ~19% less compute, 349 vs
+        220 MPix/s stream-batched at 2048² (PERF.md round 5).
+        ``batch_tiles=None`` auto-sizes the forward batch to the tile
+        count (capped at 32); pass an int to bound peak memory.
+        ``tta=True`` D4-symmetry-averages each tile (segtpu/infer/tta.py)."""
         from segtpu.infer.tiled import tiled_predict
         return tiled_predict(self.engine.model, self._require_state(), image,
                              tile=tile, overlap=overlap,

@@ -59,8 +59,17 @@ def _blend_weight_sum(ph: int, pw: int, tile: int, overlap: int,
     return np.maximum(wsum, 1e-8)
 
 
+#: ``batch_tiles=None`` resolves to min(n_tiles, _AUTO_BATCH_CAP): one
+#: forward per image when the tile count is modest (routing halo mode to
+#: its scan-free reshape assembly), capped so pathological image sizes
+#: can't explode peak HBM (32 tiles ≈ a bs-40 512² forward — well inside
+#: the measured bs128 envelope).
+_AUTO_BATCH_CAP = 32
+
+
 def make_tiled_predictor(apply_fn: Callable, tile: int = 512,
-                         overlap: int = 64, batch_tiles: int = 8,
+                         overlap: int = 64,
+                         batch_tiles: Optional[int] = None,
                          shard_tiles_axis: Optional[str] = None,
                          mode: str = "blend"):
     """Build a jitted tiled predictor.
@@ -72,6 +81,10 @@ def make_tiled_predictor(apply_fn: Callable, tile: int = 512,
     Returns ``predict(image: (H, W, C_in)) -> (H, W, C_out)`` logits.
     One compiled program per (H, W) shape; the scan over tile batches keeps
     peak HBM at O(batch_tiles · tile²) regardless of image size.
+    ``batch_tiles=None`` (default) auto-sizes to min(tile count, 32) —
+    one forward batch per image at 2048²-class sizes, which in halo mode
+    also makes assembly a scan-free reshape; pass an int to bound peak
+    memory explicitly.
 
     ``mode``:
       - ``"blend"`` (default): overlapping tiles, cosine-ramp overlap-add —
@@ -125,7 +138,9 @@ def make_tiled_predictor(apply_fn: Callable, tile: int = 512,
         # the smallest bt with the same number of forward batches so the
         # pad waste is minimal (e.g. 25 tiles, cap 32 → one batch of 25,
         # not 32 — padding cost 28% of the whole run, measured).
-        n_batches = -(-n // batch_tiles)
+        cap = batch_tiles if batch_tiles is not None \
+            else min(n, _AUTO_BATCH_CAP)
+        n_batches = -(-n // cap)
         bt = -(-n // n_batches)
         n_pad = (-n) % bt
         origins = np.concatenate(
@@ -213,7 +228,9 @@ def _make_halo_predictor(apply_fn: Callable, tile: int, halo: int,
                                        np.arange(nx) * tile,
                                        indexing="ij"), -1).reshape(-1, 2)
         n = origins.shape[0]
-        n_batches = -(-n // batch_tiles)
+        cap = batch_tiles if batch_tiles is not None \
+            else min(n, _AUTO_BATCH_CAP)
+        n_batches = -(-n // cap)
         bt = -(-n // n_batches)
         n_pad = (-n) % bt
         # duplicates rewrite the same disjoint region with the same value
@@ -246,10 +263,9 @@ def _make_halo_predictor(apply_fn: Callable, tile: int, halo: int,
         if n_batches == 1:  # implies n_pad == 0 (bt == n)
             # All tiles fit one forward: the disjoint grid assembly is a
             # pure transpose/reshape — no sequential dynamic-update scan
-            # at all. Taken when ``batch_tiles ≥ ny·nx`` (e.g. the
-            # stream-batched default batch_tiles=32 with 16 tiles at
-            # 2048²/512; the single-image default of 8 takes the scan
-            # path below — raise batch_tiles to route here).
+            # at all. Taken whenever the (auto-)batch cap ≥ ny·nx, i.e.
+            # by default for ≤32 tiles (16 at 2048²/512); an explicit
+            # small ``batch_tiles`` takes the scan path below.
             crop = forward_batch(origins_d[0])
             out = crop.reshape(ny, nx, tile, tile, cout).transpose(
                 0, 2, 1, 3, 4).reshape(ph, pw, cout).astype(jnp.float32)
@@ -274,7 +290,8 @@ def _make_halo_predictor(apply_fn: Callable, tile: int, halo: int,
 
 
 def make_tiled_predictor_many(apply_fn: Callable, tile: int = 512,
-                              overlap: int = 64, batch_tiles: int = 32,
+                              overlap: int = 64,
+                              batch_tiles: Optional[int] = None,
                               mode: str = "blend"):
     """Stream-batched tiled inference: (B, H, W, C) → (B, H, W, C_out).
 
@@ -293,7 +310,7 @@ def make_tiled_predictor_many(apply_fn: Callable, tile: int = 512,
 
 
 def tiled_predict(model, state, image, tile: int = 512, overlap: int = 64,
-                  batch_tiles: int = 8, tta: bool = False,
+                  batch_tiles: Optional[int] = None, tta: bool = False,
                   mode: str = "blend") -> np.ndarray:
     """One-call tiled inference on a single large image (H, W) or (H, W, 1).
 

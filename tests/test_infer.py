@@ -158,6 +158,39 @@ def test_tiled_halo_reshape_path_matches_scan_path(rng):
                                np.asarray(scanned(img)), atol=1e-6)
 
 
+def test_tiled_auto_batch_tiles_matches_explicit(rng):
+    """batch_tiles=None auto-sizes to min(n_tiles, 32): identical output
+    to an explicit cap in both modes (and, in halo mode, routes ≤32-tile
+    images to the scan-free reshape assembly)."""
+    img = jnp.asarray(rng.normal(size=(128, 96, 1)).astype(np.float32))
+
+    def f(x):
+        return jnp.tanh(x * 1.3 + 0.2)
+
+    for mode in ("blend", "halo"):
+        auto = make_tiled_predictor(f, tile=32, overlap=8, mode=mode)
+        explicit = make_tiled_predictor(f, tile=32, overlap=8,
+                                        batch_tiles=4, mode=mode)
+        np.testing.assert_allclose(np.asarray(auto(img)),
+                                   np.asarray(explicit(img)), atol=1e-5)
+
+
+def test_tiled_auto_batch_cap_bounds_memory(rng):
+    """Above 32 tiles the auto batch still scans (cap, not one forward):
+    a 288×288 image at tile 32 has 81 tiles in blend mode — the result
+    must match a small explicit batch exactly."""
+    img = jnp.asarray(rng.normal(size=(288, 288, 1)).astype(np.float32))
+
+    def f(x):
+        return x * 0.5 + 0.1
+
+    auto = make_tiled_predictor(f, tile=32, overlap=8, mode="blend")
+    explicit = make_tiled_predictor(f, tile=32, overlap=8, batch_tiles=8,
+                                    mode="blend")
+    np.testing.assert_allclose(np.asarray(auto(img)),
+                               np.asarray(explicit(img)), atol=1e-5)
+
+
 def test_tiled_bad_mode_raises():
     with pytest.raises(ValueError, match="mode"):
         make_tiled_predictor(lambda x: x, mode="bogus")
