@@ -144,6 +144,7 @@ class ServingModel:
         # pre-"activation"-field artifacts (format 1 early) were all binary
         self.activation = self.meta.get("activation", "sigmoid")
         self.n_classes = int(self.meta.get("n_classes", 1))
+        self._tiled_cache: Dict = {}
 
     def predict_proba(self, images) -> np.ndarray:
         """(N, H, W[, 1]) normalized float images → (N, H, W, C) float32
@@ -169,6 +170,99 @@ class ServingModel:
         index per pixel, (N, H, W, 1) uint8 — ``threshold`` does not
         apply (same contract as ``Segmenter.predict``)."""
         probs = self.predict_proba(images)
+        if self.activation == "softmax":
+            return np.argmax(probs, axis=-1).astype(np.uint8)[..., None]
+        return (probs > threshold).astype(np.uint8)
+
+    # ---- whole-slide serving: tiled inference ON the artifact ----------
+
+    def _tiled_fn(self, overlap: int, mode: str, batch_tiles):
+        """Build (and cache) a batched tiled predictor whose per-tile
+        forward IS the exported graph — large images served without any
+        segtpu model code, matching the library tiled path exactly in
+        halo mode (tests/test_export.py).
+
+        Geometry: the artifact's spatial size is FIXED at export time, so
+        the tile grid is derived from it rather than the other way round —
+        halo mode crops ``overlap//2`` context per side off each
+        ``img_size`` forward (output grid ``img_size − overlap``); blend
+        mode overlap-adds full ``img_size`` tiles. The reference has no
+        large-image path at all (it resizes, dataset.py:50-51)."""
+        key = (int(overlap), mode, batch_tiles)
+        fn = self._tiled_cache.get(key)
+        if fn is not None:
+            return fn
+        s0, s1 = self.img_size
+        if s0 != s1:
+            raise ValueError(
+                f"tiled serving needs a square artifact, got img_size "
+                f"{self.img_size} — re-export at a square tile size")
+        in_dtype = jnp.dtype(self.meta["dtype"])
+
+        def apply_fn(tiles):
+            return self._exported.call(tiles.astype(in_dtype))
+
+        if mode == "halo":
+            halo = int(overlap) // 2
+            tile = s0 - 2 * halo
+            if halo <= 0 or tile <= 0:
+                raise ValueError(
+                    f"halo overlap {overlap} is invalid for a {s0}² "
+                    f"artifact (need 0 < overlap//2 < {s0 // 2})")
+            from segtpu.infer.tiled import _make_halo_predictor
+            # direct construction: the public make_tiled_predictor derives
+            # the model-input size as tile + 2·halo, but here the model
+            # input is pinned to s0 by the export — so tile is the derived
+            # quantity and the stride-32 halo rounding must not move it.
+            single = _make_halo_predictor(apply_fn, tile, halo,
+                                          batch_tiles, None)
+        elif mode == "blend":
+            from segtpu.infer.tiled import make_tiled_predictor
+            single = make_tiled_predictor(apply_fn, tile=s0,
+                                          overlap=int(overlap),
+                                          batch_tiles=batch_tiles,
+                                          mode="blend")
+        else:
+            raise ValueError(f"mode must be 'halo' or 'blend', got {mode!r}")
+        # call_exported has no vmap batching rule → images in a request
+        # are mapped sequentially; each image's tiles are still one
+        # batched forward (the MXU-relevant axis).
+        fn = jax.jit(lambda imgs: jax.lax.map(single, imgs))
+        self._tiled_cache[key] = fn
+        return fn
+
+    def predict_proba_tiled(self, images, overlap: int = 32,
+                            mode: str = "halo",
+                            batch_tiles=None) -> np.ndarray:
+        """(N, H, W[, 1]) images of ANY spatial size → (N, H, W, C)
+        probabilities via sliding-window tiling over the fixed-size
+        artifact.
+
+        ``mode="halo"`` (default — the measured throughput preset,
+        PERF.md round 5): non-overlapping output grid, each forward sees
+        ``overlap//2`` pixels of context per side and only the center
+        crop is kept; the composition is EXACT per-tile artifact output
+        (no arithmetic on probabilities). ``mode="blend"``: cosine-ramp
+        overlap-add — since the artifact emits probabilities, this
+        averages probabilities across overlaps (the same semantics as TTA
+        probability averaging), trading exact-composition for smoother
+        seams. One compiled program per input shape."""
+        x = jnp.asarray(images)
+        if x.ndim == 3:
+            x = x[..., None]
+        if x.ndim != 4 or x.shape[-1] != 1:
+            raise ValueError(
+                f"expected grayscale (N, H, W[, 1]) input, got {x.shape}")
+        fn = self._tiled_fn(overlap, mode, batch_tiles)
+        return np.asarray(fn(x))
+
+    def predict_tiled(self, images, threshold: float = 0.5,
+                      overlap: int = 32, mode: str = "halo",
+                      batch_tiles=None) -> np.ndarray:
+        """Tiled counterpart of ``predict``: binary masks at ``threshold``
+        (or per-pixel argmax class ids for softmax artifacts)."""
+        probs = self.predict_proba_tiled(images, overlap=overlap, mode=mode,
+                                         batch_tiles=batch_tiles)
         if self.activation == "softmax":
             return np.argmax(probs, axis=-1).astype(np.uint8)[..., None]
         return (probs > threshold).astype(np.uint8)

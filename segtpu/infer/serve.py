@@ -15,6 +15,11 @@ Protocol (binary, zero-copy-friendly — JSON image payloads would be
   ``(N, H, W, C)``.
 - ``POST /predict?threshold=0.5`` → ``.npy`` uint8 binary masks instead.
 
+With ``tiled=True`` (CLI ``--tiled``), images whose spatial size differs
+from the exported size are served through sliding-window tiled inference
+on the artifact (halo mode by default — the whole-slide throughput
+preset, PERF.md round 5); exported-size inputs keep the direct path.
+
 Batching is the client's job (the artifact's symbolic batch dimension
 accepts any N); the server itself is intentionally a thin, dependency-
 free adapter — front it with a real load balancer in production.
@@ -37,7 +42,9 @@ _MAX_BODY = 256 << 20  # default request cap: 256 MiB (~1000 512² floats)
 
 def make_server(artifact_dir: str, host: str = "127.0.0.1",
                 port: int = 0, max_body_bytes: int = _MAX_BODY,
-                single_flight: bool = True) -> ThreadingHTTPServer:
+                single_flight: bool = True, tiled: bool = False,
+                tile_overlap: int = 32, tile_mode: str = "halo",
+                batch_tiles: Optional[int] = None) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``port=0`` picks a free
     port (``server.server_address[1]``). Call ``serve_forever()`` or
     drive it from a thread in tests.
@@ -52,9 +59,25 @@ def make_server(artifact_dir: str, host: str = "127.0.0.1",
     its queue while each holds its host-side buffers alive, raising peak
     memory for zero throughput. The lock bounds host memory to one
     request's working set; HTTP accept/read/write still overlap. See
-    docs/DEPLOYMENT.md."""
+    docs/DEPLOYMENT.md.
+
+    ``tiled``: accept images of ANY spatial size — inputs that don't
+    match the artifact's exported size are routed through sliding-window
+    tiled inference on the artifact itself
+    (``ServingModel.predict_proba_tiled``). Exported-size inputs still
+    take the direct single-forward path. ``tile_mode="halo"`` +
+    ``tile_overlap=32`` is the measured whole-slide throughput preset
+    (PERF.md round 5); ``batch_tiles`` bounds per-request peak HBM.
+    Each distinct input (N, H, W) compiles once — production fronts
+    should bucket request shapes."""
     model = ServingModel(artifact_dir)
     infer_lock = threading.Lock() if single_flight else None
+    tiled_cfg = ({"enabled": True, "overlap": int(tile_overlap),
+                  "mode": tile_mode, "batch_tiles": batch_tiles}
+                 if tiled else {"enabled": False})
+    if tiled:
+        # fail at startup, not on the first odd-size request
+        model._tiled_fn(tile_overlap, tile_mode, batch_tiles)
 
     class Handler(BaseHTTPRequestHandler):
         # quiet by default; tooling can override
@@ -73,7 +96,8 @@ def make_server(artifact_dir: str, host: str = "127.0.0.1",
 
         def do_GET(self):  # noqa: N802
             if self.path.split("?")[0] == "/health":
-                self._send_json(200, {"status": "ok", **model.meta})
+                self._send_json(200, {"status": "ok", "tiled": tiled_cfg,
+                                      **model.meta})
             else:
                 self._send_json(404, {"error": "unknown path"})
 
@@ -121,15 +145,30 @@ def make_server(artifact_dir: str, host: str = "127.0.0.1",
             except Exception as e:
                 self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
                 return
+            # whole-slide route: any non-exported spatial size goes through
+            # tiled inference on the artifact (tiled servers only)
+            use_tiled = (tiled and arr.ndim in (3, 4)
+                         and tuple(arr.shape[1:3]) != model.img_size)
+
+            def run():
+                if use_tiled:
+                    if threshold is None:
+                        return model.predict_proba_tiled(
+                            arr, overlap=tile_overlap, mode=tile_mode,
+                            batch_tiles=batch_tiles)
+                    return model.predict_tiled(
+                        arr, threshold=threshold, overlap=tile_overlap,
+                        mode=tile_mode, batch_tiles=batch_tiles)
+                if threshold is None:
+                    return model.predict_proba(arr)
+                return model.predict(arr, threshold=threshold)
+
             try:
                 if infer_lock is not None:
                     with infer_lock:
-                        out = (model.predict_proba(arr) if threshold is None
-                               else model.predict(arr, threshold=threshold))
-                elif threshold is None:
-                    out = model.predict_proba(arr)
+                        out = run()
                 else:
-                    out = model.predict(arr, threshold=threshold)
+                    out = run()
             except ValueError as e:   # input validation (size/channels)
                 self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
                 return
@@ -142,6 +181,7 @@ def make_server(artifact_dir: str, host: str = "127.0.0.1",
 
     server = ThreadingHTTPServer((host, port), Handler)
     server.artifact_meta = model.meta  # introspection for tooling
+    server.tiled_config = tiled_cfg
     return server
 
 

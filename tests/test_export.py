@@ -176,6 +176,88 @@ def test_exported_artifact_composes_with_tiled_inference(small_model,
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_serving_model_tiled_matches_live_halo(small_model, tmp_path):
+    """ServingModel.predict_proba_tiled (halo mode) equals the library
+    halo predictor run over the live model's probabilities — whole-slide
+    serving composes EXACTLY, ragged sizes included (the artifact's fixed
+    spatial size pins the model input; the output grid is derived)."""
+    from segtpu.infer.tiled import _make_halo_predictor
+
+    model, params, batch_stats = small_model
+    path = save_serving(str(tmp_path / "art"), model, params, batch_stats,
+                        (SIZE, SIZE))
+    sm = ServingModel(path)
+    rng = np.random.default_rng(5)
+    big = rng.random((2, SIZE + 20, 2 * SIZE + 5), np.float32)
+    got = sm.predict_proba_tiled(big, overlap=16)  # halo 8 → tile 16
+
+    def live_probs_fn(x):
+        logits = model.apply({"params": params, "batch_stats": batch_stats},
+                             x, train=False)
+        return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    single = _make_halo_predictor(live_probs_fn, SIZE - 16, 8, None, None)
+    want = np.asarray(jax.vmap(single)(jnp.asarray(big)[..., None]))
+    assert got.shape == (2, SIZE + 20, 2 * SIZE + 5, 1)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # blend mode: full-size tiles, cosine overlap-add over PROBABILITIES
+    from segtpu.infer.tiled import make_tiled_predictor
+    got_b = sm.predict_proba_tiled(big, overlap=8, mode="blend")
+    single_b = make_tiled_predictor(live_probs_fn, tile=SIZE, overlap=8)
+    want_b = np.asarray(jax.vmap(single_b)(jnp.asarray(big)[..., None]))
+    np.testing.assert_allclose(got_b, want_b, atol=1e-5)
+
+    # geometry validation: overlap too large for the exported size
+    with pytest.raises(ValueError, match="halo overlap"):
+        sm.predict_proba_tiled(big, overlap=SIZE)
+    with pytest.raises(ValueError, match="mode"):
+        sm.predict_proba_tiled(big, mode="mosaic")
+
+
+def test_http_serving_tiled_whole_slide(small_model, tmp_path):
+    """A --tiled server routes non-exported-size images through tiled
+    inference on the artifact; exported-size inputs keep the exact direct
+    path; /health advertises the tiling config."""
+    import json as _json
+    import threading
+    from urllib.request import urlopen
+
+    from segtpu.infer.serve import client_predict, make_server
+
+    model, params, batch_stats = small_model
+    path = save_serving(str(tmp_path / "art"), model, params, batch_stats,
+                        (SIZE, SIZE))
+    sm = ServingModel(path)
+    server = make_server(path, tiled=True, tile_overlap=16)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{port}"
+        health = _json.load(urlopen(f"{url}/health", timeout=30))
+        assert health["tiled"]["enabled"] is True
+        assert health["tiled"]["mode"] == "halo"
+
+        rng = np.random.default_rng(9)
+        big = rng.random((1, 2 * SIZE, SIZE + 8, 1), np.float32)
+        got = client_predict(url, big)
+        want = sm.predict_proba_tiled(big, overlap=16)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+        masks = client_predict(url, big, threshold=0.5)
+        assert masks.dtype == np.uint8
+        np.testing.assert_array_equal(masks, (want > 0.5).astype(np.uint8))
+
+        # exported-size input: still the direct (single-forward) path
+        x = rng.random((2, SIZE, SIZE, 1), np.float32)
+        np.testing.assert_allclose(client_predict(url, x),
+                                   sm.predict_proba(x), atol=1e-6)
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_segmenter_export_roundtrip(tmp_path):
     """High-level path: fit-free Segmenter state → export → serve."""
     import segtpu

@@ -20,13 +20,34 @@ def main():
     ap.add_argument("artifact_dir")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8787)
+    ap.add_argument("--tiled", action="store_true",
+                    help="serve images of ANY spatial size via "
+                         "sliding-window tiling on the artifact "
+                         "(whole-slide serving)")
+    ap.add_argument("--tile-overlap", type=int, default=32,
+                    help="tile context in pixels; with --tile-mode halo "
+                         "this is the measured throughput preset "
+                         "(overlap 32 = halo 16, PERF.md round 5)")
+    ap.add_argument("--tile-mode", choices=("halo", "blend"),
+                    default="halo",
+                    help="halo: exact per-tile composition, highest "
+                         "throughput; blend: cosine overlap-add "
+                         "probability averaging, smoothest seams")
+    ap.add_argument("--batch-tiles", type=int, default=None,
+                    help="bound tiles per forward (peak HBM); default "
+                         "auto-sizes to one forward per image")
     args = ap.parse_args()
 
     from segtpu.infer.serve import make_server
-    server = make_server(args.artifact_dir, args.host, args.port)
+    server = make_server(args.artifact_dir, args.host, args.port,
+                         tiled=args.tiled, tile_overlap=args.tile_overlap,
+                         tile_mode=args.tile_mode,
+                         batch_tiles=args.batch_tiles)
     host, port = server.server_address[:2]
+    tiled_note = (f", tiled={args.tile_mode}/overlap{args.tile_overlap}"
+                  if args.tiled else "")
     print(f"serving {args.artifact_dir} "
-          f"(img_size={server.artifact_meta['img_size']}) "
+          f"(img_size={server.artifact_meta['img_size']}{tiled_note}) "
           f"on http://{host}:{port} — GET /health, POST /predict", flush=True)
     try:
         server.serve_forever()
