@@ -471,3 +471,110 @@ def predict_dp_scaling(allreduce_bytes: float, step_time_s: float,
             "throughput_scale_2d": n * e2,
         })
     return rows
+
+
+def predict_2d_mesh_scaling(grad_phase_bytes: float, halo_bytes: float,
+                            halo_nd: int, step_time_s: float,
+                            shapes=((8, 1), (4, 2), (2, 4), (1, 8)),
+                            link_gbps: float = V5E_ICI_LINK_GBPS,
+                            ag_bytes: float = 0.0) -> list:
+    """Strong-scaling table for a 2-D (data × spatial) training mesh.
+
+    Joint model for the two collective classes a spatially-sharded step
+    pays (extracted from the GSPMD-partitioned HLO by
+    ``extract_collectives``):
+
+    - ``grad_phase_bytes``: the gradient-tree payload of ONE all-reduce
+      phase (the f32 param-tree size). GSPMD reduces a 2-D mesh
+      hierarchically — one phase per mesh axis, each moving the full
+      tree (measured: the partitioned 2-D step's ≥1 MiB all-reduce
+      payload is exactly 2× the param tree) — so
+      ``t_ar = ring(V, nd) + ring(V, ns)``, each phase a ring over its
+      own axis's links; a 1-D mesh pays the single ``ring(V, n)``.
+    - ``halo_bytes``: per-chip conv halo-exchange traffic
+      (collective-permute payloads summed) measured at data-axis size
+      ``halo_nd``. A band boundary is ``local_batch × halo_rows × W ×
+      C`` — proportional to the LOCAL batch, so bytes rescale by
+      ``halo_nd / nd``; they are ``ns``-independent for ns ≥ 2 (each
+      chip exchanges its two boundaries whatever the band count) and
+      zero at ns = 1. Up/down directions are distinct links; the model
+      serializes them (conservative).
+    - ``ag_bytes``: spatial-axis activation all-gathers (payload =
+      OUTPUT/gathered bytes, summed), measured at ``halo_nd``. On this
+      U-Net they live in the TRANSPOSED-conv backward — GSPMD cannot
+      halo-exchange a stride-2 transposed conv's gradient and gathers
+      the full spatial activation instead — and they are what makes a
+      spatial training axis expensive (measured 1.66 GB vs 0.27 GB halo
+      at 512²/bs128). Bytes ∝ local batch (× halo_nd/nd); ring
+      all-gather time V·(ns−1)/ns over the bidirectional axis links.
+
+    Compute divides as total pixels: ``t_comp = step_time_s/(nd·ns)``
+    (GSPMD exchanges halos instead of recomputing them, so the division
+    is near-ideal; edge effects ignored). Strong scaling at the measured
+    step's global batch and image size.
+
+    Returns [{nd, ns, t_comp_ms, t_allreduce_ms, t_halo_ms,
+    t_allgather_ms, efficiency, speedup}, ...].
+    """
+    bw = 2 * link_gbps  # bidirectional ring on one axis's links
+    rows = []
+    for nd, ns in shapes:
+        n = nd * ns
+        if nd > 1 and ns > 1:
+            t_ar = (ring_allreduce_time(grad_phase_bytes, nd, bw)
+                    + ring_allreduce_time(grad_phase_bytes, ns, bw))
+        else:
+            t_ar = ring_allreduce_time(grad_phase_bytes, n, bw)
+        t_halo = (halo_bytes * halo_nd / nd / link_gbps) if ns > 1 else 0.0
+        t_ag = (ag_bytes * halo_nd / nd * (ns - 1) / ns / bw
+                if ns > 1 else 0.0)
+        t_comp = step_time_s / n
+        t_total = t_comp + t_ar + t_halo + t_ag
+        rows.append({
+            "nd": nd, "ns": ns,
+            "t_comp_ms": t_comp * 1e3,
+            "t_allreduce_ms": t_ar * 1e3,
+            "t_halo_ms": t_halo * 1e3,
+            "t_allgather_ms": t_ag * 1e3,
+            "efficiency": t_comp / t_total,
+            "speedup": step_time_s / t_total,
+        })
+    return rows
+
+
+def predict_spatial_inference_scaling(image_hw, halo: int, cin: int,
+                                      dense_time_s: float,
+                                      n_list=(2, 4, 8),
+                                      itemsize: int = 4,
+                                      link_gbps: float = V5E_ICI_LINK_GBPS
+                                      ) -> list:
+    """Latency table for row-sharded (halo-exchange) single-image
+    inference (segtpu/parallel/spatial.py).
+
+    Each of ``n`` chips forwards an ``(H/n + 2·halo, W)`` band after one
+    input halo exchange of ``halo·W·cin·itemsize`` bytes per direction
+    (serialized here; they ride distinct neighbor links in practice).
+    Compute scales with band pixels: redundancy ``(H/n + 2·halo)/(H/n)``
+    grows as chips are added — the fundamental strong-scaling limit of
+    spatial partitioning at fixed image size.
+
+    Returns [{n, t_band_ms, t_halo_ms, latency_ms, speedup,
+    efficiency}, ...] including the n=1 dense row.
+    """
+    h, w = image_hw
+    rows = []
+    for n in (1,) + tuple(n_list):
+        band_px = (h / n + (2 * halo if n > 1 else 0)) * w
+        t_band = dense_time_s * band_px / (h * w)
+        t_halo = (2 * halo * w * cin * itemsize / (link_gbps)
+                  if n > 1 else 0.0)
+        latency = t_band + t_halo
+        rows.append({
+            "n": n,
+            "t_band_ms": t_band * 1e3,
+            "t_halo_ms": t_halo * 1e3,
+            "latency_ms": latency * 1e3,
+            "speedup": dense_time_s / latency,
+            "efficiency": dense_time_s / latency / n,
+        })
+    return rows

@@ -264,3 +264,109 @@ def test_real_partitioned_step_collectives():
     # split all-reduces, so pin a covering lower bound and a sane upper
     assert total_ar >= param_bytes, (total_ar, param_bytes)
     assert total_ar <= 4 * param_bytes + (1 << 20), (total_ar, param_bytes)
+
+
+def test_2d_mesh_scaling_model():
+    """predict_2d_mesh_scaling: hierarchical grad AR (one ring per mesh
+    axis) + local-batch-proportional halo traffic on the spatial axis."""
+    from segtpu.core.hlo_profile import (predict_2d_mesh_scaling,
+                                         ring_allreduce_time)
+    v, halo, lk = 98e6, 16e6, 45e9
+    step = 0.276
+    rows = predict_2d_mesh_scaling(v, halo, 4, step, link_gbps=lk)
+    by = {(r["nd"], r["ns"]): r for r in rows}
+    # 1-D data mesh: single ring over all 8, no halo traffic
+    r81 = by[(8, 1)]
+    assert r81["t_halo_ms"] == 0.0
+    assert abs(r81["t_allreduce_ms"] / 1e3
+               - ring_allreduce_time(v, 8, 2 * lk)) < 1e-12
+    # 4×2: one ring per axis; halo measured at nd=4 applies unscaled
+    r42 = by[(4, 2)]
+    t_ar = ring_allreduce_time(v, 4, 2 * lk) + ring_allreduce_time(
+        v, 2, 2 * lk)
+    assert abs(r42["t_allreduce_ms"] / 1e3 - t_ar) < 1e-12
+    assert abs(r42["t_halo_ms"] / 1e3 - halo / lk) < 1e-12
+    # 2×4: local batch doubles (nd 4→2) so halo bytes double
+    r24 = by[(2, 4)]
+    assert abs(r24["t_halo_ms"] - 2 * r42["t_halo_ms"]) < 1e-9
+    # efficiency = t_comp / (t_comp + comms); all rows divide compute by 8
+    for r in rows:
+        t_comp = step / 8
+        t_tot = t_comp + (r["t_allreduce_ms"] + r["t_halo_ms"]
+                          + r["t_allgather_ms"]) / 1e3
+        assert abs(r["efficiency"] - t_comp / t_tot) < 1e-9
+        assert abs(r["speedup"] - step / t_tot) < 1e-6
+
+    # transposed-conv-bwd all-gathers: ring gather of the full activation
+    # along the spatial axis, bytes ∝ local batch (halo_nd/nd)
+    ag = 1.6e9
+    rows_ag = predict_2d_mesh_scaling(v, halo, 4, step, link_gbps=lk,
+                                      ag_bytes=ag)
+    by_ag = {(r["nd"], r["ns"]): r for r in rows_ag}
+    assert by_ag[(8, 1)]["t_allgather_ms"] == 0.0
+    assert abs(by_ag[(4, 2)]["t_allgather_ms"] / 1e3
+               - ag * 0.5 / (2 * lk)) < 1e-12
+    assert abs(by_ag[(2, 4)]["t_allgather_ms"] / 1e3
+               - ag * 2 * 0.75 / (2 * lk)) < 1e-12
+    # the gathers dominate: spatial training axis is measurably worse
+    assert by_ag[(4, 2)]["efficiency"] < by_ag[(8, 1)]["efficiency"]
+
+
+def test_spatial_inference_scaling_model():
+    """predict_spatial_inference_scaling: band-pixel compute share +
+    input halo exchange, n=1 row reproduces the dense time."""
+    from segtpu.core.hlo_profile import predict_spatial_inference_scaling
+    h = w = 2048
+    dense = 0.0416
+    rows = predict_spatial_inference_scaling((h, w), halo=32, cin=1,
+                                             dense_time_s=dense,
+                                             n_list=(4,), link_gbps=45e9)
+    assert rows[0]["n"] == 1
+    assert abs(rows[0]["latency_ms"] - dense * 1e3) < 1e-9
+    r4 = rows[1]
+    band = (h / 4 + 64) * w
+    assert abs(r4["t_band_ms"] / 1e3 - dense * band / (h * w)) < 1e-12
+    assert abs(r4["t_halo_ms"] / 1e3 - 2 * 32 * w * 4 / 45e9) < 1e-12
+    assert r4["speedup"] < 4 and r4["efficiency"] < 1.0
+
+
+def test_real_partitioned_2d_step_collectives():
+    """Compile a tiny train step over a 4×2 (data × spatial) mesh and
+    assert the collective classes the 2-D scaling model consumes are
+    extractable: spatial-axis activation communication (collective-
+    permute halo exchanges and/or all-gathers — GSPMD's choice is
+    shape-dependent: the 512² flagship emits 239 permutes +
+    transposed-conv-bwd gathers, SPATIAL_SCALING_512.json; at 32² it
+    prefers gathers) and the gradient all-reduce covering the param
+    tree."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from segtpu.core.hlo_profile import extract_collectives
+    from segtpu.train.engine import get_engine
+
+    engine = get_engine({"backbone": "resnet_tiny", "use_attention": False,
+                         "loss_fn": "combo"})
+    state = engine.init_state(jax.random.key(0), (1, 32, 32, 1), 1e-3, 1e-5)
+    param_bytes = sum(x.size * x.dtype.itemsize
+                      for x in jax.tree.leaves(state.params))
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                ("data", "spatial"))
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    sh = NamedSharding(mesh, P("data", "spatial", None, None))
+    imgs = jax.device_put(jnp.zeros((8, 32, 32, 1), jnp.float32), sh)
+    masks = jax.device_put(jnp.zeros((8, 32, 32, 1), jnp.float32), sh)
+    hlo = jax.jit(engine._train_step_impl).lower(
+        state, imgs, masks).compile().as_text()
+    colls = extract_collectives(hlo)
+    spatial_comm = [c for c in colls
+                    if c["opcode"] in ("collective-permute", "all-gather")]
+    assert spatial_comm, "no spatial-axis activation communication"
+    total_ar = sum(c["payload_bytes"] for c in colls
+                   if c["opcode"] == "all-reduce")
+    # the gradient tree is reduced at least once (hierarchical meshes
+    # may reduce it once per axis — up to ~2×); loose bounds so
+    # partitioner evolution surfaces rather than flakes
+    assert total_ar >= param_bytes, (total_ar, param_bytes)
+    assert total_ar <= 6 * param_bytes + (1 << 22), (total_ar, param_bytes)

@@ -18,10 +18,20 @@ The gradient all-reduce payload is N- and spatial-size-independent (it is
 the parameter-gradient tree), which this tool demonstrates by accepting
 --size/--batch: rerunning at 128² yields the same collective bytes.
 
+With ``--spatial NS`` the step is partitioned over a 2-D
+(data × spatial) mesh instead — batch over 'data', image HEIGHT over
+'spatial' (the dryrun stage-1 layout) — so GSPMD additionally inserts
+conv halo exchanges (collective-permutes). The tool splits those out and
+models the joint cost (gradient ring all-reduce over all chips + nearest-
+neighbor halo traffic) across mesh shapes 8×1 / 4×2 / 2×4 / 1×8, plus the
+row-sharded single-image INFERENCE latency table
+(segtpu/parallel/spatial.py) from the measured dense 2048² time.
+
 Usage:
     python tools/dp_scaling_profile.py                    # flagship
     python tools/dp_scaling_profile.py --size 128 --batch 32   # quick
     python tools/dp_scaling_profile.py --accum 4          # grad-accum step
+    python tools/dp_scaling_profile.py --spatial 2        # 2-D mesh
 """
 
 from __future__ import annotations
@@ -52,6 +62,14 @@ def main(argv=None):
                     action="store_false")
     ap.add_argument("--accum", type=int, default=0,
                     help="also analyze the grad-accum step (A micro-batches)")
+    ap.add_argument("--spatial", type=int, default=0,
+                    help="partition over a 2-D (data × spatial) mesh with "
+                         "this spatial-axis size; adds conv halo-exchange "
+                         "extraction + the joint 2-D scaling model")
+    ap.add_argument("--dense-2048-ms", type=float, default=41.6,
+                    help="measured single-image dense-equivalent 2048² "
+                         "forward time (PERF.md) for the spatial-inference "
+                         "latency table")
     ap.add_argument("--step-ms", type=float,
                     default=MEASURED_STEP_MS_512_BS128,
                     help="measured single-chip step time at per-chip "
@@ -75,7 +93,9 @@ def main(argv=None):
 
     from segtpu.core.hlo_profile import (collective_summary,
                                          extract_collectives,
-                                         predict_dp_scaling)
+                                         predict_2d_mesh_scaling,
+                                         predict_dp_scaling,
+                                         predict_spatial_inference_scaling)
     from segtpu.train.engine import get_engine
 
     engine = get_engine({"backbone": args.backbone,
@@ -86,9 +106,18 @@ def main(argv=None):
     param_bytes = sum(x.size * x.dtype.itemsize
                       for x in jax.tree.leaves(state.params))
 
-    mesh = Mesh(np.array(jax.devices()[:args.devices]), ("data",))
+    if args.spatial > 1:
+        nd = args.devices // args.spatial
+        if nd * args.spatial != args.devices:
+            raise SystemExit(f"--spatial {args.spatial} must divide "
+                             f"--devices {args.devices}")
+        mesh = Mesh(np.array(jax.devices()[:args.devices]).reshape(
+            nd, args.spatial), ("data", "spatial"))
+        shard = NamedSharding(mesh, P("data", "spatial", None, None))
+    else:
+        mesh = Mesh(np.array(jax.devices()[:args.devices]), ("data",))
+        shard = NamedSharding(mesh, P("data", None, None, None))
     repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P("data", None, None, None))
     state = jax.device_put(state, repl)
     imgs = jax.device_put(
         jnp.zeros((args.batch, args.size, args.size, 1), jnp.float32), shard)
@@ -123,7 +152,12 @@ def main(argv=None):
                   if c["opcode"] == "all-reduce"
                   and c["payload_bytes"] >= SMALL_COLLECTIVE_BYTES)
     small_sync = sum(c["payload_bytes"] for c in colls
-                     if c["payload_bytes"] < SMALL_COLLECTIVE_BYTES)
+                     if c["opcode"] != "collective-permute"
+                     and c["payload_bytes"] < SMALL_COLLECTIVE_BYTES)
+    halo_permutes = [c for c in colls if c["opcode"] == "collective-permute"]
+    halo_bytes = sum(c["payload_bytes"] for c in halo_permutes)
+    ag_ops = [c for c in colls if c["opcode"] == "all-gather"]
+    ag_bytes = sum(c["payload_bytes"] for c in ag_ops)
     in_loop = [c for c in colls if c["computation"] and
                "while" in c["computation"].lower()]
 
@@ -145,6 +179,11 @@ def main(argv=None):
     print(f"  gradient all-reduce (≥1 MiB): {grad_ar/1e6:.2f} MB "
           f"(param tree: {param_bytes/1e6:.2f} MB)")
     print(f"  BN/metric sync (<1 MiB): {small_sync/1e3:.1f} KB")
+    print(f"  conv halo exchange (collective-permute): "
+          f"{len(halo_permutes)} ops, {halo_bytes/1e6:.2f} MB per chip")
+    if ag_ops:
+        print(f"  activation all-gather (transposed-conv bwd): "
+              f"{len(ag_ops)} ops, {ag_bytes/1e6:.2f} MB gathered")
     if in_loop:
         print(f"  NOTE: {len(in_loop)} collectives inside while bodies "
               f"(execute once per iteration)")
@@ -165,18 +204,62 @@ def main(argv=None):
               f"{r['efficiency_1d']:>7.1%}"
               f"{r['t_allreduce_2d_ms']:>10.2f}ms{r['efficiency_2d']:>7.1%}")
 
+    mesh2d = infer_sp = None
+    if args.spatial > 1:
+        # a 2-D mesh reduces gradients hierarchically — one phase per
+        # axis, each the full tree (measured: ≥1 MiB AR payload ≈ 2×
+        # param tree; asserted loosely here so a partitioner change
+        # surfaces instead of silently skewing the model)
+        phases = max(1, round(grad_ar / param_bytes))
+        grad_phase = grad_ar / phases
+        nd0 = args.devices // args.spatial
+        mesh2d = predict_2d_mesh_scaling(grad_phase, halo_bytes, nd0,
+                                         step_s, ag_bytes=ag_bytes)
+        print(f"\njoint 2-D (data × spatial) strong scaling at 8 chips "
+              f"({phases}-phase grad AR, {grad_phase/1e6:.1f} MB/phase; "
+              f"at nd={nd0}, ∝1/nd: {halo_bytes/1e6:.2f} MB/chip halo + "
+              f"{ag_bytes/1e6:.0f} MB transposed-conv-bwd all-gather "
+              f"when ns>1):")
+        print(f"  {'mesh':>6}{'t_comp':>10}{'t_ar':>9}{'t_halo':>9}"
+              f"{'t_ag':>9}{'eff':>8}{'speedup':>9}")
+        for r in mesh2d:
+            print(f"  {r['nd']:>3}x{r['ns']:<2}{r['t_comp_ms']:>8.1f}ms"
+                  f"{r['t_allreduce_ms']:>7.2f}ms{r['t_halo_ms']:>7.2f}ms"
+                  f"{r['t_allgather_ms']:>7.2f}ms"
+                  f"{r['efficiency']:>8.1%}{r['speedup']:>8.2f}x")
+        infer_sp = predict_spatial_inference_scaling(
+            (2048, 2048), halo=32, cin=1,
+            dense_time_s=args.dense_2048_ms / 1e3)
+        print(f"\nrow-sharded single-image inference latency, 2048² "
+              f"(halo 32, measured dense {args.dense_2048_ms:.1f} ms):")
+        print(f"  {'chips':>5}{'t_band':>10}{'t_halo':>9}{'latency':>10}"
+              f"{'speedup':>9}{'eff':>8}")
+        for r in infer_sp:
+            print(f"  {r['n']:>5}{r['t_band_ms']:>8.2f}ms"
+                  f"{r['t_halo_ms']:>7.3f}ms{r['latency_ms']:>8.2f}ms"
+                  f"{r['speedup']:>8.2f}x{r['efficiency']:>8.1%}")
+
     report = {
         "config": {"devices": args.devices, "size": args.size,
                    "global_batch": args.batch, "dtype": args.dtype,
                    "backbone": args.backbone, "accum": args.accum,
+                   "spatial": args.spatial,
                    "step_ms_measured": args.step_ms},
         "param_bytes": param_bytes,
         "collectives": summary,
         "grad_allreduce_bytes": grad_ar,
         "small_sync_bytes": small_sync,
+        "halo_permute_ops": len(halo_permutes),
+        "halo_permute_bytes": halo_bytes,
+        "allgather_ops": len(ag_ops),
+        "allgather_bytes": ag_bytes,
         "collectives_in_loop_bodies": len(in_loop),
         "weak_scaling": weak,
         "strong_scaling_bs128": strong,
+        "mesh2d_strong_scaling": mesh2d,
+        "spatial_inference_2048": infer_sp,
+        "grad_ar_phases": (max(1, round(grad_ar / param_bytes))
+                           if args.spatial > 1 else 1),
         "largest_collectives": sorted(
             ({k: c[k] for k in ("opcode", "payload_bytes", "shape",
                                 "op_name", "computation")}
