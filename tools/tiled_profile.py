@@ -58,6 +58,44 @@ def build_apply(backbone="resnet34", attention=True, dtype="bfloat16"):
     return apply_fn
 
 
+def sweep(args, make_tiled_predictor_many, _tile_origins):
+    """Halo-mode tile-size sweep: one shared model build, stream-batched
+    headline per (tile, overlap) config. tile == size with overlap 0 is
+    the dense whole-image datapoint (redundancy 1.0)."""
+    S, B = args.size, args.batch
+    configs = []
+    for spec in args.sweep.split(","):
+        t, v = spec.strip().split(":")
+        configs.append((int(t), int(v)))
+    apply_fn = (lambda x: x * 2.0) if args.quick else build_apply()
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((B, S, S, 1), np.float32))
+    mpix = S * S / 1e6
+    report = {"config": vars(args), "mode": "halo", "results": []}
+    for T, V in configs:
+        halo = V // 2
+        if T % 32 == 0 and halo:
+            halo = -(-halo // 16) * 16
+        n_tiles = (-(-S // T)) ** 2
+        red = n_tiles * (T + 2 * halo) ** 2 / (S * S)
+        many = make_tiled_predictor_many(apply_fn, tile=T, overlap=V,
+                                         batch_tiles=None, mode="halo")
+        t_many = _t(many, imgs, iters=(1, 3))
+        rate = mpix * B / t_many
+        row = {"tile": T, "overlap": V, "halo": halo, "n_tiles": n_tiles,
+               "redundancy": red, "s_per_img": t_many / B,
+               "mpix_per_s": rate}
+        report["results"].append(row)
+        print(f"tile {T:4} ov {V:3} (halo {halo:2}, {n_tiles:2} tiles, "
+              f"{red:.3f}x): {t_many/B*1e3:7.2f} ms/img  {rate:6.0f} MPix/s",
+              flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"report: {args.out}")
+    return report
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=2048)
@@ -66,12 +104,19 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--quick", action="store_true",
                     help="identity apply_fn (no model) — blend/gather only")
+    ap.add_argument("--sweep", default=None,
+                    help="tile:overlap list, e.g. '512:32,1024:32,2048:0' — "
+                         "halo-mode stream-batched headline per config, one "
+                         "shared model build (skips the per-stage decompose)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
     from segtpu.infer.tiled import (_blend_window, _tile_origins,
                                     make_tiled_predictor,
                                     make_tiled_predictor_many)
+
+    if args.sweep:
+        return sweep(args, make_tiled_predictor_many, _tile_origins)
 
     S, T, V, B = args.size, args.tile, args.overlap, args.batch
     stride = T - V
